@@ -1,0 +1,244 @@
+"""TPU-native prime-field arithmetic: 16-bit limbs in uint32 lanes.
+
+Design (TPU-first, not a port — reference keeps this in gnark-crypto's
+x86/ARM assembly, SURVEY.md §2.4):
+
+* A field element is a little-endian vector of 16-bit limbs stored in a
+  uint32 array of shape [..., n].  Fr (255-bit) uses n=16, Fp (381-bit) n=24.
+* Elements live in Montgomery form with R = 2^(16 n).
+* Montgomery multiplication is computed as three *vectorized banded
+  convolutions* (a*b full product, m = T*N' mod R, m*N), each lowered to a
+  single broadcast-multiply + hi/lo split + reduction over the limb axis —
+  big fused VPU ops with no data-dependent control flow.  Only the carry
+  normalization is a (short, unrolled) sequential chain.
+* 16x16-bit limb products are exact in uint32; column sums of the split
+  hi/lo parts stay < 2^22, so nothing ever overflows a uint32 lane.
+
+Everything here is jit-compatible and vectorizes over arbitrary leading
+batch dimensions.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MASK16 = jnp.uint32(0xFFFF)
+U32 = jnp.uint32
+
+
+def int_to_limbs(x: int, n: int) -> np.ndarray:
+    """Python int -> np.uint32[n] little-endian 16-bit limbs."""
+    return np.array([(x >> (16 * i)) & 0xFFFF for i in range(n)], dtype=np.uint32)
+
+
+def limbs_to_int(limbs) -> int:
+    out = 0
+    for i, l in enumerate(np.asarray(limbs, dtype=np.uint64).tolist()):
+        out |= int(l) << (16 * i)
+    return out
+
+
+class FieldSpec:
+    """All derived constants + jnp ops for one prime field."""
+
+    def __init__(self, name: str, modulus: int, n_limbs: int):
+        assert modulus < (1 << (16 * n_limbs))
+        self.name = name
+        self.modulus = modulus
+        self.n = n_limbs
+        self.R = 1 << (16 * n_limbs)
+        self.R_mod = self.R % modulus
+        self.R2_mod = (self.R * self.R) % modulus
+        # N' = -N^{-1} mod R (full-width, for reduction-by-multiplication)
+        self.n_prime = (-pow(modulus, -1, self.R)) % self.R
+
+        n = self.n
+        self.mod_limbs = jnp.asarray(int_to_limbs(modulus, n))
+        self.np_limbs = jnp.asarray(int_to_limbs(self.n_prime, n))
+        self.one_mont = jnp.asarray(int_to_limbs(self.R_mod, n))
+        self.r2_limbs = jnp.asarray(int_to_limbs(self.R2_mod, n))
+        self.zero = jnp.zeros((n,), dtype=jnp.uint32)
+
+        # Banded-convolution gather index/mask: for output column k and
+        # operand-row i, we need b[k - i] (zero when out of range).
+        # full product: k in [0, 2n); low product: k in [0, n).
+        def band(n_cols):
+            idx = np.zeros((n, n_cols), dtype=np.int32)
+            msk = np.zeros((n, n_cols), dtype=np.uint32)
+            for i in range(n):
+                for k in range(n_cols):
+                    j = k - i
+                    if 0 <= j < n:
+                        idx[i, k] = j
+                        msk[i, k] = 1
+            return jnp.asarray(idx), jnp.asarray(msk)
+
+        self._idx_full, self._msk_full = band(2 * n)
+        self._idx_low, self._msk_low = band(n)
+
+    # -- low-level building blocks -------------------------------------------
+
+    def _conv(self, a, b, idx, msk):
+        """Column sums of the banded product: cols[k] = sum_i a_i * b_{k-i}.
+
+        Returns (lo_cols, hi_cols) where the true column value is
+        lo_cols[k] + (hi_cols[k-1] << 16) accumulated; we return them merged:
+        cols[k] = lo_sum[k] + hi_sum shifted by one column.
+        Bound: each < n * 0xffff < 2^21.
+        """
+        # gathered b: [..., n, n_cols]
+        bg = b[..., idx] * msk
+        prod = a[..., :, None] * bg  # exact u32 (16x16)
+        lo = (prod & MASK16).sum(axis=-2, dtype=jnp.uint32)
+        hi = (prod >> 16).sum(axis=-2, dtype=jnp.uint32)
+        # merge: hi of column k contributes to column k+1
+        cols = lo.at[..., 1:].add(hi[..., :-1])
+        return cols, hi[..., -1]  # (columns, carry-out beyond last column)
+
+    def _propagate(self, cols, n_out):
+        """Carry-propagate columns (u32, < 2^27) into n_out 16-bit limbs.
+
+        Returns (limbs[..., n_out], carry_out).
+        """
+        limbs = []
+        carry = jnp.zeros(cols.shape[:-1], dtype=jnp.uint32)
+        for k in range(n_out):
+            t = cols[..., k] + carry
+            limbs.append(t & MASK16)
+            carry = t >> 16
+        return jnp.stack(limbs, axis=-1), carry
+
+    def _cond_sub_mod(self, limbs, extra):
+        """Reduce a value (extra*2^16n + limbs) < 2*mod into [0, mod)."""
+        d, borrow = self._sub_raw(limbs, self.mod_limbs)
+        use_sub = (extra > 0) | (borrow == 0)
+        return jnp.where(use_sub[..., None], d, limbs)
+
+    def _sub_raw(self, a, b):
+        """a - b with borrow chain; returns (limbs mod 2^16n, borrow)."""
+        out = []
+        borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]),
+                           dtype=jnp.uint32)
+        for k in range(self.n):
+            t = a[..., k] + U32(0x10000) - b[..., k] - borrow
+            out.append(t & MASK16)
+            borrow = U32(1) - (t >> 16)
+        return jnp.stack(out, axis=-1), borrow
+
+    # -- public ops ------------------------------------------------------------
+
+    def add(self, a, b):
+        cols = a + b  # < 2^17 per lane
+        limbs, carry = self._propagate(cols, self.n)
+        return self._cond_sub_mod(limbs, carry)
+
+    def sub(self, a, b):
+        d, borrow = self._sub_raw(a, b)
+        # if borrow, add modulus back
+        fix = jnp.where(borrow[..., None].astype(bool),
+                        self.mod_limbs, jnp.zeros_like(self.mod_limbs))
+        limbs, _ = self._propagate(d + fix, self.n)
+        return limbs
+
+    def neg(self, a):
+        d, _ = self._sub_raw(jnp.broadcast_to(self.mod_limbs, a.shape), a)
+        return jnp.where(self.is_zero(a)[..., None], a, d)
+
+    def mul(self, a, b):
+        """Montgomery product: a * b * R^{-1} mod N."""
+        n = self.n
+        # T = a * b  (2n columns)
+        t_cols, t_top = self._conv(a, b, self._idx_full, self._msk_full)
+        # m = (T mod R) * N' mod R : need T's low n limbs propagated first
+        t_low, t_carry = self._propagate(t_cols[..., :n], n)
+        m_cols, _ = self._conv(t_low, self.np_limbs, self._idx_low, self._msk_low)
+        m, _ = self._propagate(m_cols, n)
+        # T + m*N
+        mn_cols, mn_top = self._conv(m, self.mod_limbs, self._idx_full, self._msk_full)
+        total = t_cols + mn_cols  # columns < 2^22 each, sum < 2^23
+        # inject the carry that came out of propagating T's low half back in:
+        # (propagation was only a *view* for computing m; the authoritative
+        # accumulator is `total`, so nothing to inject — t_cols still holds
+        # the full low columns.)
+        # Propagate the low n columns; they sum to 0 mod R by construction.
+        _, low_carry = self._propagate(total[..., :n], n)
+        high = total[..., n:]
+        high = high.at[..., 0].add(low_carry)
+        limbs, carry = self._propagate(high, n)
+        carry = carry + t_top + mn_top
+        return self._cond_sub_mod(limbs, carry)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def mul_const(self, a, const_mont):
+        return self.mul(a, const_mont)
+
+    def to_mont(self, a):
+        return self.mul(a, self.r2_limbs)
+
+    def from_mont(self, a):
+        one = jnp.zeros((self.n,), dtype=jnp.uint32).at[0].set(1)
+        return self.mul(a, one)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=-1)
+
+    def select(self, cond, a, b):
+        """cond broadcastable against batch dims; picks a where True."""
+        return jnp.where(cond[..., None], a, b)
+
+    def is_lt_modulus(self, a):
+        _, borrow = self._sub_raw(a, self.mod_limbs)
+        return borrow == 1
+
+    def pow_const(self, a, exponent: int):
+        """a^exponent (Montgomery in/out) for a Python-int exponent, via scan."""
+        nbits = max(exponent.bit_length(), 1)
+        bits = jnp.asarray(
+            [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+            dtype=jnp.uint32)
+
+        def body(acc, bit):
+            acc2 = self.sqr(acc)
+            acc3 = self.mul(acc2, a)
+            return self.select((bit == 1), acc3, acc2), None
+
+        init = jnp.broadcast_to(self.one_mont, a.shape)
+        out, _ = jax.lax.scan(body, init, bits)
+        return out
+
+    def inv(self, a):
+        """Batched inversion via Fermat (fully parallel; 0 -> 0)."""
+        return self.pow_const(a, self.modulus - 2)
+
+    # -- host-side helpers ------------------------------------------------------
+
+    def from_int(self, x: int, mont: bool = True) -> np.ndarray:
+        x %= self.modulus
+        if mont:
+            x = (x * self.R) % self.modulus
+        return int_to_limbs(x, self.n)
+
+    def to_int(self, limbs, mont: bool = True) -> int:
+        x = limbs_to_int(np.asarray(limbs))
+        if mont:
+            x = (x * pow(self.R, -1, self.modulus)) % self.modulus
+        return x
+
+
+@functools.cache
+def fr_spec() -> FieldSpec:
+    from ..constants import R_MOD
+    return FieldSpec("fr", R_MOD, 16)
+
+
+@functools.cache
+def fp_spec() -> FieldSpec:
+    from ..constants import P_MOD
+    return FieldSpec("fp", P_MOD, 24)
