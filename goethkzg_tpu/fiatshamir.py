@@ -1,0 +1,31 @@
+"""Fiat-Shamir challenge computation (reference: fiatshamir.go:22-40).
+
+SHA-256 runs on host (tiny, latency-bound, must be bit-exact with the spec);
+the digest is reduced mod r with gnark SetBytes semantics (full reduction,
+not a canonicality check).
+"""
+
+import hashlib
+
+import numpy as np
+
+from .constants import DOM_SEP_PROTOCOL, R_MOD, SCALARS_PER_BLOB
+from .ops.field import int_to_limbs
+
+
+def u64_to_bytes16(n: int) -> bytes:
+    return n.to_bytes(16, "big")
+
+
+def compute_challenge(blob: bytes, commitment: bytes) -> int:
+    h = hashlib.sha256()
+    h.update(DOM_SEP_PROTOCOL)
+    h.update(u64_to_bytes16(SCALARS_PER_BLOB))
+    h.update(blob)
+    h.update(commitment)
+    return int.from_bytes(h.digest(), "big") % R_MOD
+
+
+def compute_challenge_limbs(blob: bytes, commitment: bytes) -> np.ndarray:
+    """Challenge as normal-form Fr limbs [16]."""
+    return int_to_limbs(compute_challenge(blob, commitment), 16)

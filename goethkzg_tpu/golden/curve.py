@@ -118,7 +118,8 @@ def _from_jac(F, pt):
 
 
 def _scalar_mul(F, pt, k: int):
-    k %= R_MOD
+    if k < 0:
+        raise ValueError("negative scalar")
     if pt is None or k == 0:
         return None
     acc = None

@@ -60,6 +60,10 @@ class FieldSpec:
         self.one_mont = jnp.asarray(int_to_limbs(self.R_mod, n))
         self.r2_limbs = jnp.asarray(int_to_limbs(self.R2_mod, n))
         self.zero = jnp.zeros((n,), dtype=jnp.uint32)
+        # Interface shared with Fp2Field for generic curve code:
+        self.zero_elem = self.zero
+        self.one_elem = self.one_mont
+        self.trailing_dims = 1
 
         # Banded-convolution gather index/mask: for output column k and
         # operand-row i, we need b[k - i] (zero when out of range).
@@ -80,6 +84,42 @@ class FieldSpec:
 
     # -- low-level building blocks -------------------------------------------
 
+    @staticmethod
+    def _shift_up(a, sh, fill=False):
+        """result[..., k] = a[..., k-sh] (toward higher limb indices)."""
+        pad = jnp.full(a.shape[:-1] + (sh,), fill, dtype=a.dtype)
+        return jnp.concatenate([pad, a[..., :-sh]], axis=-1)
+
+    def _ks(self, v):
+        """Kogge–Stone carry resolution for v [..., m] with entries < 2^17 - 1.
+
+        Returns (limbs [..., m] < 2^16, carry_out [...] in {0, 1}).
+        Log-depth instead of the sequential ripple chain — 5 rounds for 24
+        limbs instead of 24 dependent steps.
+        """
+        m = v.shape[-1]
+        G = (v >> 16) == 1
+        Pp = (v & MASK16) == MASK16
+        sh = 1
+        while sh < m:
+            G = G | (Pp & self._shift_up(G, sh))
+            Pp = Pp & self._shift_up(Pp, sh)
+            sh *= 2
+        c = self._shift_up(G, 1).astype(jnp.uint32)
+        out = (v + c) & MASK16
+        return out, G[..., -1].astype(jnp.uint32)
+
+    def _propagate_cols(self, cols):
+        """Resolve accumulated columns (< 2^27) into 16-bit limbs.
+
+        Returns (limbs, carry_out) where carry_out may be multi-bit.
+        """
+        lo = cols & MASK16
+        hi = cols >> 16
+        v = lo + self._shift_up(hi, 1)  # < 2^16 + 2^11
+        limbs, c = self._ks(v)
+        return limbs, c + hi[..., -1]
+
     def _conv(self, a, b, idx, msk):
         """Column sums of the banded product: cols[k] = sum_i a_i * b_{k-i}.
 
@@ -97,19 +137,6 @@ class FieldSpec:
         cols = lo.at[..., 1:].add(hi[..., :-1])
         return cols, hi[..., -1]  # (columns, carry-out beyond last column)
 
-    def _propagate(self, cols, n_out):
-        """Carry-propagate columns (u32, < 2^27) into n_out 16-bit limbs.
-
-        Returns (limbs[..., n_out], carry_out).
-        """
-        limbs = []
-        carry = jnp.zeros(cols.shape[:-1], dtype=jnp.uint32)
-        for k in range(n_out):
-            t = cols[..., k] + carry
-            limbs.append(t & MASK16)
-            carry = t >> 16
-        return jnp.stack(limbs, axis=-1), carry
-
     def _cond_sub_mod(self, limbs, extra):
         """Reduce a value (extra*2^16n + limbs) < 2*mod into [0, mod)."""
         d, borrow = self._sub_raw(limbs, self.mod_limbs)
@@ -117,29 +144,24 @@ class FieldSpec:
         return jnp.where(use_sub[..., None], d, limbs)
 
     def _sub_raw(self, a, b):
-        """a - b with borrow chain; returns (limbs mod 2^16n, borrow)."""
-        out = []
-        borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]),
-                           dtype=jnp.uint32)
-        for k in range(self.n):
-            t = a[..., k] + U32(0x10000) - b[..., k] - borrow
-            out.append(t & MASK16)
-            borrow = U32(1) - (t >> 16)
-        return jnp.stack(out, axis=-1), borrow
+        """a - b via 16-bit complement addition; returns (limbs, borrow)."""
+        comp = MASK16 - b
+        s = (a + comp).at[..., 0].add(1)  # a + (2^16n - 1 - b) + 1
+        limbs, carry = self._ks(s)
+        return limbs, U32(1) - carry
 
     # -- public ops ------------------------------------------------------------
 
     def add(self, a, b):
-        cols = a + b  # < 2^17 per lane
-        limbs, carry = self._propagate(cols, self.n)
+        limbs, carry = self._ks(a + b)
         return self._cond_sub_mod(limbs, carry)
 
     def sub(self, a, b):
         d, borrow = self._sub_raw(a, b)
-        # if borrow, add modulus back
+        # if borrowed, add modulus back
         fix = jnp.where(borrow[..., None].astype(bool),
                         self.mod_limbs, jnp.zeros_like(self.mod_limbs))
-        limbs, _ = self._propagate(d + fix, self.n)
+        limbs, _ = self._ks(d + fix)
         return limbs
 
     def neg(self, a):
@@ -152,21 +174,20 @@ class FieldSpec:
         # T = a * b  (2n columns)
         t_cols, t_top = self._conv(a, b, self._idx_full, self._msk_full)
         # m = (T mod R) * N' mod R : need T's low n limbs propagated first
-        t_low, t_carry = self._propagate(t_cols[..., :n], n)
+        # (the propagated view is only for computing m; `t_cols` stays the
+        # authoritative accumulator)
+        t_low, _ = self._propagate_cols(t_cols[..., :n])
         m_cols, _ = self._conv(t_low, self.np_limbs, self._idx_low, self._msk_low)
-        m, _ = self._propagate(m_cols, n)
+        m, _ = self._propagate_cols(m_cols)
         # T + m*N
         mn_cols, mn_top = self._conv(m, self.mod_limbs, self._idx_full, self._msk_full)
         total = t_cols + mn_cols  # columns < 2^22 each, sum < 2^23
-        # inject the carry that came out of propagating T's low half back in:
-        # (propagation was only a *view* for computing m; the authoritative
-        # accumulator is `total`, so nothing to inject — t_cols still holds
-        # the full low columns.)
-        # Propagate the low n columns; they sum to 0 mod R by construction.
-        _, low_carry = self._propagate(total[..., :n], n)
+        # The low n columns sum to 0 mod R by construction; only their carry
+        # into the high half matters.
+        _, low_carry = self._propagate_cols(total[..., :n])
         high = total[..., n:]
         high = high.at[..., 0].add(low_carry)
-        limbs, carry = self._propagate(high, n)
+        limbs, carry = self._propagate_cols(high)
         carry = carry + t_top + mn_top
         return self._cond_sub_mod(limbs, carry)
 
@@ -216,6 +237,49 @@ class FieldSpec:
     def inv(self, a):
         """Batched inversion via Fermat (fully parallel; 0 -> 0)."""
         return self.pow_const(a, self.modulus - 2)
+
+    def batch_inv(self, x, zero_to_zero: bool = True):
+        """Montgomery-trick batched inversion along axis -2 of x [..., N, n].
+
+        Uses log-depth prefix/suffix product scans (TPU-friendly) plus ONE
+        Fermat inversion, ~6N muls total instead of N*255.  Zero entries map
+        to zero (gnark BatchInvert semantics).
+        """
+        N = x.shape[-2]
+        one = jnp.broadcast_to(self.one_mont, x.shape)
+        zeros = self.is_zero(x)
+        safe = jnp.where(zeros[..., None], one, x)
+
+        def incl_scan(v):
+            sh = 1
+            while sh < N:
+                pad = one[..., :sh, :]
+                shifted = jnp.concatenate([pad, v[..., :-sh, :]], axis=-2)
+                v = self.mul(v, shifted)
+                sh *= 2
+            return v
+
+        incl_pre = incl_scan(safe)
+        incl_suf = incl_scan(safe[..., ::-1, :])[..., ::-1, :]
+        excl_pre = jnp.concatenate([one[..., :1, :], incl_pre[..., :-1, :]], axis=-2)
+        excl_suf = jnp.concatenate([incl_suf[..., 1:, :], one[..., :1, :]], axis=-2)
+        total_inv = self.inv(incl_pre[..., -1, :])
+        out = self.mul(self.mul(excl_pre, excl_suf), total_inv[..., None, :])
+        if zero_to_zero:
+            out = jnp.where(zeros[..., None], jnp.zeros_like(out), out)
+        return out
+
+    def sum(self, x, axis=-2):
+        """Tree reduction of field elements along `axis` (default element axis)."""
+        assert axis == -2
+        v = x
+        while v.shape[-2] > 1:
+            m = v.shape[-2]
+            if m % 2 == 1:
+                pad = jnp.zeros_like(v[..., :1, :])
+                v = jnp.concatenate([v, pad], axis=-2)
+            v = self.add(v[..., 0::2, :], v[..., 1::2, :])
+        return v[..., 0, :]
 
     # -- host-side helpers ------------------------------------------------------
 
