@@ -72,7 +72,40 @@ class Context:
         self.alpha_g2 = parsed.g2_monomial_ints[1]
         self.g2_points = parsed.g2_monomial_ints
 
+        self._setup_digest = parsed.digest
+        self._fk20 = None
+        self._recovery = None
+        self._mp_key = None
         self._jits = {}
+
+    # -------------------------------------------------- lazy EIP-7594 engines
+    @property
+    def fk20(self):
+        if self._fk20 is None:
+            from .engines.fk20 import FK20
+            from .trusted_setup import _CACHE_DIR
+            import os
+            cache = (os.path.join(_CACHE_DIR,
+                                  f"fk20_{self._setup_digest}_v1.npz")
+                     if self._setup_digest else None)
+            self._fk20 = FK20(self.curve, self.monomial_key, cache)
+        return self._fk20
+
+    @property
+    def recovery(self):
+        if self._recovery is None:
+            from .engines.erasure import DataRecovery
+            self._recovery = DataRecovery()
+        return self._recovery
+
+    @property
+    def mp_key(self):
+        if self._mp_key is None:
+            from .engines.kzg_multi import MultiPointOpeningKey
+            key64 = tuple(a[:SCALARS_PER_CELL] for a in self.monomial_key)
+            self._mp_key = MultiPointOpeningKey(self.curve, key64,
+                                                self.g2_points)
+        return self._mp_key
 
     # ------------------------------------------------------------------ utils
     def _jit(self, key, builder):
@@ -276,6 +309,200 @@ class Context:
         ])
         if not ok:
             raise ErrVerifyOpeningProof()
+
+
+    # ------------------------------------------------------- EIP-7594 (cells)
+    def _coeffs_fn(self):
+        """blob scalars (brp-eval order, normal form) -> monomial coeffs."""
+        fr = self.fr
+        rev = jnp.asarray(bitrev_indices(SCALARS_PER_BLOB))
+        domain = self.domain
+
+        def to_coeffs(poly_normal):
+            poly = fr.to_mont(poly_normal)
+            poly = jnp.take(poly, rev, axis=-2)
+            return domain.ifft(poly)
+
+        return to_coeffs
+
+    def _cells_only_fn(self):
+        fr, fk = self.fr, self.fk20
+        to_coeffs = self._coeffs_fn()
+
+        def run(poly_normal):
+            coeffs = to_coeffs(poly_normal)
+            return fr.from_mont(fk.extended_evaluations(coeffs))
+
+        return jax.jit(run)
+
+    def _cells_proofs_from_coeffs_fn(self):
+        fr, fk, curve = self.fr, self.fk20, self.curve
+
+        def run(coeffs_mont):
+            evals = fr.from_mont(fk.extended_evaluations(coeffs_mont))
+            proofs = fk.multi_open_proofs(coeffs_mont)
+            return evals, curve.to_affine(proofs)
+
+        return jax.jit(run)
+
+    def _cells_proofs_fn(self):
+        to_coeffs = jax.jit(self._coeffs_fn())
+        from_coeffs = self._jit("cells_proofs_coeffs",
+                                self._cells_proofs_from_coeffs_fn)
+
+        def run(poly_normal):
+            return from_coeffs(to_coeffs(poly_normal))
+
+        return run
+
+    def _serialize_cells(self, evals_normal):
+        """[128, 64, 16] normal-form evals -> list of 128 cell byte strings."""
+        arr = np.asarray(evals_normal)
+        return [serialization.serialize_fr_normal(arr[i])
+                for i in range(CELLS_PER_EXT_BLOB)]
+
+    def _serialize_proofs(self, ax, ay, ainf):
+        return [serialization.serialize_g1(
+            self._affine_to_golden(ax, ay, ainf, i))
+            for i in range(CELLS_PER_EXT_BLOB)]
+
+    def compute_cells(self, blob: bytes) -> list:
+        """reference: api_eip7594.go:12."""
+        poly = serialization.deserialize_blob(blob)
+        run = self._jit("cells_only", self._cells_only_fn)
+        evals = run(jnp.asarray(poly))
+        return self._serialize_cells(evals)
+
+    def compute_cells_and_kzg_proofs(self, blob: bytes):
+        """reference: api_eip7594.go:28."""
+        poly = serialization.deserialize_blob(blob)
+        run = self._jit("cells_proofs", self._cells_proofs_fn)
+        evals, (ax, ay, ainf) = run(jnp.asarray(poly))
+        return (self._serialize_cells(evals),
+                self._serialize_proofs(ax, ay, ainf))
+
+    def _recover_poly_coeffs(self, cell_ids, cells):
+        """Validation + erasure recovery -> monomial coeffs (device array).
+
+        reference: api_eip7594.go:93-141.
+        """
+        from .errors import (ErrCellIDsNotOrdered, ErrFoundInvalidCellID,
+                             ErrNotEnoughCellsForReconstruction,
+                             ErrNumCellIDsNotEqualNumCells)
+        if len(cell_ids) != len(cells):
+            raise ErrNumCellIDsNotEqualNumCells()
+        if any(b <= a for a, b in zip(cell_ids, cell_ids[1:])):
+            raise ErrCellIDsNotOrdered()
+        if any(cid >= CELLS_PER_EXT_BLOB for cid in cell_ids):
+            raise ErrFoundInvalidCellID()
+        if len(cell_ids) < self.recovery.blocks_needed():
+            raise ErrNotEnoughCellsForReconstruction()
+
+        ext = np.zeros((SCALARS_PER_EXT_BLOB, 16), dtype=np.uint32)
+        for cid, cell in zip(cell_ids, cells):
+            ext[cid * SCALARS_PER_CELL:(cid + 1) * SCALARS_PER_CELL] = \
+                serialization.deserialize_cell(cell)
+        rev = bitrev_indices(SCALARS_PER_EXT_BLOB)
+        ext = ext[rev]
+        present = set(cell_ids)
+        missing = [int(bin(cid + CELLS_PER_EXT_BLOB)[3:][::-1], 2)
+                   for cid in range(CELLS_PER_EXT_BLOB) if cid not in present]
+        data_mont = self.fr.to_mont(jnp.asarray(ext))
+        return self.recovery.recover_poly_coeffs(data_mont, missing)
+
+    def recover_cells_and_compute_kzg_proofs(self, cell_ids, cells):
+        """reference: api_eip7594.go:144."""
+        coeffs = self._recover_poly_coeffs(list(cell_ids), list(cells))
+        from_coeffs = self._jit("cells_proofs_coeffs",
+                                self._cells_proofs_from_coeffs_fn)
+        evals, (ax, ay, ainf) = from_coeffs(coeffs)
+        return (self._serialize_cells(evals),
+                self._serialize_proofs(ax, ay, ainf))
+
+    def recover_cells(self, cell_ids, cells) -> list:
+        """Recovery without proofs (reference: api_eip.go:8)."""
+        coeffs = self._recover_poly_coeffs(list(cell_ids), list(cells))
+        fr, fk = self.fr, self.fk20
+        run = self._jit("cells_from_coeffs", lambda: jax.jit(
+            lambda c: fr.from_mont(fk.extended_evaluations(c))))
+        return self._serialize_cells(run(coeffs))
+
+    def verify_cell_kzg_proof_batch(self, commitments, cell_indices, cells,
+                                    proofs) -> None:
+        """reference: api_eip7594.go:163, internal/kzg_multi/kzg_verify.go:16."""
+        from .errors import ErrInvalidCellID
+        # deduplicate commitments, order-preserving (api_eip7594.go:238)
+        unique, row_indices = [], []
+        seen = {}
+        for c in commitments:
+            key = bytes(c)
+            if key not in seen:
+                seen[key] = len(unique)
+                unique.append(key)
+            row_indices.append(seen[key])
+        batch = len(commitments)
+        if batch != len(cell_indices) or batch != len(cells) or batch != len(proofs):
+            raise ErrBatchLengthCheck()
+        if batch == 0:
+            return
+        if any(ci >= CELLS_PER_EXT_BLOB for ci in cell_indices):
+            raise ErrInvalidCellID()
+
+        comms_g = [serialization.deserialize_g1(c) for c in unique]
+        proofs_g = [serialization.deserialize_g1(p) for p in proofs]
+        evals = np.stack([serialization.deserialize_cell(c) for c in cells])
+
+        r = secrets.randbelow(R_MOD - 1) + 1
+        r_powers = [1]
+        for _ in range(batch - 1):
+            r_powers.append(r_powers[-1] * r % R_MOD)
+
+        # fold proofs and commitments (device MSMs)
+        folded_proofs = self._fold_msm_host(proofs_g, r_powers)
+        weights = [0] * len(unique)
+        for k, ridx in enumerate(row_indices):
+            weights[ridx] = (weights[ridx] + r_powers[k]) % R_MOD
+        folded_comms = self._fold_msm_host(comms_g, weights)
+        weighted = [self.mp_key.coset_shifts_pow_cs[ci] * rp % R_MOD
+                    for ci, rp in zip(cell_indices, r_powers)]
+        folded_weighted_proofs = self._fold_msm_host(proofs_g, weighted)
+
+        # folded interpolation polynomial (device, padded batch)
+        pad = _pad_pow2(batch)
+        evals_p = np.concatenate([evals] + [evals[:1]] * (pad - batch))
+        idx_p = np.asarray(list(cell_indices) + [0] * (pad - batch),
+                           dtype=np.int32)
+        rp_mont = np.stack([self.fr.from_int(x) for x in
+                            r_powers + [0] * (pad - batch)])
+        interp = self.mp_key.fold_interpolation_poly(
+            self.fr.to_mont(jnp.asarray(evals_p)), jnp.asarray(idx_p),
+            jnp.asarray(rp_mont))
+        interp_normal = np.stack(
+            [int_to_limbs(self.fr.to_int(np.asarray(interp)[i]), 16)
+             for i in range(SCALARS_PER_CELL)])
+        # commit to it with the first 64 monomial points (device MSM)
+        fold = self._jit("interp_commit", self._interp_commit_fn)
+        ax, ay, ainf = fold(self.mp_key.g1_points, jnp.asarray(interp_normal))
+        interp_commit = self._affine_to_golden(ax, ay, ainf)
+
+        rl = gcurve.g1_add(folded_comms, gcurve.g1_neg(interp_commit))
+        rl = gcurve.g1_add(rl, folded_weighted_proofs)
+        s_pow_cs_g2 = self.g2_points[SCALARS_PER_CELL]
+        ok = gpairing.pairing_check([
+            (folded_proofs, s_pow_cs_g2),
+            (rl, gcurve.g2_neg(self.gen_g2)),
+        ])
+        if not ok:
+            raise ErrVerifyOpeningProof()
+
+    def _interp_commit_fn(self):
+        curve = self.curve
+
+        def fn(points, scalars_normal):
+            res = msm_mod.msm(curve, points, scalars_normal, window=4)
+            return curve.to_affine(tuple(c[None] for c in res))
+
+        return jax.jit(fn)
 
 
 def new_context_4096_secure(use_cache: bool = True) -> Context:

@@ -116,11 +116,29 @@ def final_exponentiation(f):
     # easy part: f^((p^6-1)(p^2+1))
     f = gf.fp12_mul(gf.fp12_conj(f), gf.fp12_inv(f))
     f = gf.fp12_mul(gf.fp12_frobenius(f, 2), f)
-    # hard part (naive, golden-model only)
+    # hard part (naive full exponentiation — oracle for the fast path)
     return gf.fp12_pow(f, _HARD_PART_EXP)
 
 
-def pairing_check(pairs) -> bool:
+def final_exp_is_one_fast(f) -> bool:
+    """Check f^((p^12-1)/r) == 1 via 3d = (u-1)^2 (u+p)(u^2+p^2-1) + 3.
+
+    Equivalent to the full check since gcd(3, r) = 1 (an identity-tested
+    decomposition; u = -BLS_X).  After the easy part all elements are in
+    the cyclotomic subgroup, where inversion is conjugation.
+    """
+    x = BLS_X
+    f = gf.fp12_mul(gf.fp12_conj(f), gf.fp12_inv(f))
+    f = gf.fp12_mul(gf.fp12_frobenius(f, 2), f)
+    g = gf.fp12_pow(f, (x + 1) ** 2)
+    h = gf.fp12_mul(gf.fp12_conj(gf.fp12_pow(g, x)), gf.fp12_frobenius(g, 1))
+    k = gf.fp12_mul(gf.fp12_mul(gf.fp12_pow(h, x * x),
+                                gf.fp12_frobenius(h, 2)), gf.fp12_conj(h))
+    res = gf.fp12_mul(k, gf.fp12_mul(gf.fp12_sqr(f), f))
+    return gf.fp12_eq_one(res)
+
+
+def pairing_check(pairs, fast: bool = True) -> bool:
     """Return True iff prod e(P_i, Q_i) == 1.
 
     pairs: iterable of (g1_affine, g2_affine); entries with an infinity
@@ -131,4 +149,6 @@ def pairing_check(pairs) -> bool:
         if p1 is None or q2 is None:
             continue
         f = gf.fp12_mul(f, miller_loop(p1, q2))
+    if fast:
+        return final_exp_is_one_fast(f)
     return gf.fp12_eq_one(final_exponentiation(f))

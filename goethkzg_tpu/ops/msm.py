@@ -18,31 +18,44 @@ be shared (in_axes=None) or per-instance.
 import jax
 import jax.numpy as jnp
 
-WINDOW = 8
-NUM_WINDOWS = 256 // WINDOW  # Fr scalars are < 2^255
-NUM_BUCKETS = 1 << WINDOW
+def fr_digits(scalars_normal, window: int):
+    """[..., 16] normal-form Fr limbs -> [..., 256/window] uint32 digits.
+
+    window must divide 16 (digits never straddle a limb boundary).
+    """
+    assert 16 % window == 0
+    per_limb = 16 // window
+    shifts = jnp.arange(per_limb, dtype=jnp.uint32) * window
+    mask = jnp.uint32((1 << window) - 1)
+    d = (scalars_normal[..., None] >> shifts) & mask
+    return d.reshape(scalars_normal.shape[:-1] + (-1,))
 
 
-def fr_digits(scalars_normal):
-    """[..., 16] normal-form Fr limbs -> [..., NUM_WINDOWS] uint32 digits."""
-    lo = scalars_normal & 0xFF
-    hi = scalars_normal >> 8
-    return jnp.stack([lo, hi], axis=-1).reshape(scalars_normal.shape[:-1] + (-1,))
-
-
-def msm(curve, points_affine, scalars_normal):
-    """Single MSM: sum_i scalars[i] * P_i.
+def msm(curve, points_affine, scalars_normal, window: int = 8):
+    """Single MSM: sum_i scalars[i] * P_i  (Pippenger, bucket window `window`).
 
     points_affine: (x [N, *e], y [N, *e], inf [N]) in Montgomery form.
     scalars_normal: [N, 16] uint32 limbs, canonical (non-Montgomery).
-    Returns a Jacobian point.
+    Returns a Jacobian point.  Small windows (4) suit small N; 8 suits
+    thousands of points.
+    """
+    window_sums = msm_window_sums(curve, points_affine, scalars_normal, window)
+    return combine_window_sums(curve, window_sums, window)
+
+
+def msm_window_sums(curve, points_affine, scalars_normal, window: int = 8):
+    """Pippenger bucket phase: per-window sums S_w (Jacobian, lane axis W).
+
+    Exposed separately so the point-sharded multi-chip MSM (parallel/) can
+    all-gather partial window sums across devices before the Horner combine.
     """
     F = curve.F
     px, py, pinf = points_affine
-    digits = fr_digits(scalars_normal)  # [N, W]
+    digits = fr_digits(scalars_normal, window)  # [N, W]
     W = digits.shape[-1]
+    num_buckets = 1 << window
 
-    bshape = (W, NUM_BUCKETS)
+    bshape = (W, num_buckets)
     buckets = curve.infinity(bshape)
     w_idx = jnp.arange(W)
 
@@ -69,13 +82,16 @@ def msm(curve, points_affine, scalars_normal):
 
     inf_w = curve.infinity((W,))
     rev_buckets = tuple(
-        jnp.moveaxis(b[:, :0:-1], 1, 0) for b in buckets)  # [255, W, *e]
+        jnp.moveaxis(b[:, :0:-1], 1, 0) for b in buckets)  # [2^w - 1, W, *e]
     (_, window_sums), _ = jax.lax.scan(red_body, (inf_w, inf_w), rev_buckets)
+    return window_sums
 
-    # Horner combine over windows, MSB window first (scan; doubling infinity
-    # in the first step is a harmless no-op).
+
+def combine_window_sums(curve, window_sums, window: int = 8):
+    """Horner combine over windows, MSB window first (scan; doubling the
+    initial infinity is a harmless no-op)."""
     def horner_body(acc, s_w):
-        for _ in range(WINDOW):
+        for _ in range(window):
             acc = curve.double(acc)
         return curve.add(acc, s_w), None
 

@@ -76,11 +76,12 @@ class ParsedSetup:
       g2_monomial_raw: np.uint8 array of the compressed bytes
     """
 
-    def __init__(self, lag, mono, g2_pts, g2_raw):
+    def __init__(self, lag, mono, g2_pts, g2_raw, digest=""):
         self.g1_lagrange = lag
         self.g1_monomial = mono
         self.g2_monomial_ints = g2_pts
         self.g2_monomial_raw = g2_raw
+        self.digest = digest
 
 
 def parse_trusted_setup(setup: dict, cache: bool = True) -> ParsedSetup:
@@ -97,7 +98,7 @@ def parse_trusted_setup(setup: dict, cache: bool = True) -> ParsedSetup:
         g2_raw = z["g2_raw"]
         g2_pts = [gcurve.g2_decompress(bytes(r), subgroup_check=False)
                   for r in g2_raw]
-        return ParsedSetup(lag, mono, g2_pts, g2_raw)
+        return ParsedSetup(lag, mono, g2_pts, g2_raw, digest)
 
     if len(setup["g2_monomial"]) < 2:
         from .errors import ErrMinSRSSize
@@ -119,4 +120,4 @@ def parse_trusted_setup(setup: dict, cache: bool = True) -> ParsedSetup:
             lag_x=lag[0], lag_y=lag[1], lag_inf=lag[2],
             mono_x=mono[0], mono_y=mono[1], mono_inf=mono[2],
             g2_raw=g2_raw)
-    return ParsedSetup(lag, mono, g2_pts, g2_raw)
+    return ParsedSetup(lag, mono, g2_pts, g2_raw, digest)
