@@ -10,6 +10,7 @@ The `numGoRoutines` knob of the reference is intentionally gone — the
 parallelism model is the device mesh (see parallel/), per SURVEY.md §7.3.
 """
 
+import os
 import secrets
 
 import jax
@@ -17,8 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import fiatshamir, serialization
-from .constants import (BYTES_PER_BLOB, R_MOD, SCALARS_PER_BLOB,
-                        SCALARS_PER_CELL, SCALARS_PER_EXT_BLOB)
+from .constants import (BYTES_PER_BLOB, CELLS_PER_EXT_BLOB, R_MOD,
+                        SCALARS_PER_BLOB, SCALARS_PER_CELL,
+                        SCALARS_PER_EXT_BLOB)
 from .engines import kzg as kzg_engine
 from .errors import (ErrBatchLengthCheck, ErrVerifyOpeningProof, KZGError)
 from .golden import curve as gcurve
@@ -37,6 +39,19 @@ def _pad_pow2(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+def _pad_bucket(n: int) -> int:
+    """Pad batch sizes to a small fixed set of shapes.
+
+    Every distinct padded shape costs a full XLA compile of the batched
+    kernels; bucketing to {1, 8, 128, pow2 beyond} keeps the compile count
+    (and the persistent-cache size) tiny at negligible runtime padding cost.
+    """
+    for b in (1, 8, 128):
+        if n <= b:
+            return b
+    return _pad_pow2(n)
 
 
 class Context:
@@ -152,6 +167,47 @@ class Context:
 
         return jax.jit(eval_)
 
+    def _pairing_fn(self):
+        from .ops import pairing as dpair
+        tw = dpair.get_tower()
+
+        def check(p1x, p1y, v1, q1x, q1y, p2x, p2y, v2, q2x, q2y):
+            return dpair.pairing_check_2(tw, (p1x, p1y), (q1x, q1y), v1,
+                                         (p2x, p2y), (q2x, q2y), v2)
+
+        return jax.jit(check)
+
+    def _pairing_check(self, pairs) -> bool:
+        """Product-of-two-pairings == 1, on device (reference:
+        internal/kzg/kzg_verify.go:88,190, kzg_multi/kzg_verify.go:94).
+
+        pairs: two (g1_affine_ints_or_None, g2_affine_ints_or_None) tuples.
+        A pair with an infinity member contributes the identity (gnark
+        PairingCheck semantics).
+
+        Default is the HOST pairing: the device pairing (ops/pairing.py) is
+        bit-correct but latency-bound today (~1.6 s vs ~0.33 s host — a
+        63-step Miller scan plus ~320-step final-exp scans over 48-lane-wide
+        Fp ops leave the VPU idle).  GOETHKZG_DEVICE_PAIRING=1 opts in; the
+        optimization track is a lane-batched tower (run both Miller loops +
+        all 54 Fp2 mults of each f12 mul as one wide batched Fp kernel).
+        """
+        if os.environ.get("GOETHKZG_DEVICE_PAIRING") != "1":
+            return gpairing.pairing_check(
+                [(p, q) for p, q in pairs if p is not None and q is not None])
+        from .ops.field2 import fp2_field
+        fp, f2 = self.fp, fp2_field()
+        args = []
+        for p, q in pairs:
+            valid = p is not None and q is not None
+            args.append(jnp.asarray(fp.from_int(p[0] if p else 0)))
+            args.append(jnp.asarray(fp.from_int(p[1] if p else 0)))
+            args.append(jnp.asarray(np.bool_(valid)))
+            args.append(jnp.asarray(f2.from_ints(q[0] if q else (0, 0))))
+            args.append(jnp.asarray(f2.from_ints(q[1] if q else (0, 0))))
+        check = self._jit("pairing", self._pairing_fn)
+        return bool(check(*args))
+
     def _fold_msm_fn(self):
         curve = self.curve
 
@@ -226,7 +282,7 @@ class Context:
         alpha_minus_z = gcurve.g2_add(self.alpha_g2, gcurve.g2_neg(z_g2))
         y_g1 = gcurve.g1_scalar_mul(self.gen_g1, y)
         c_minus_y = gcurve.g1_add(comm, gcurve.g1_neg(y_g1))
-        ok = gpairing.pairing_check([
+        ok = self._pairing_check([
             (c_minus_y, gcurve.g2_neg(self.gen_g2)),
             (quotient, alpha_minus_z),
         ])
@@ -250,13 +306,11 @@ class Context:
         polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
         comms = [serialization.deserialize_g1(c) for c in commitments]
         quotients = [serialization.deserialize_g1(p) for p in proofs]
-        challenges = np.stack([
-            fiatshamir.compute_challenge_limbs(bytes(b), bytes(c))
-            for b, c in zip(blobs, commitments)])
+        challenges = fiatshamir.compute_challenges_batch(blobs, commitments)
 
         # evaluate every blob at its challenge (data-parallel device kernel)
         eval_ = self._jit("eval", self._eval_fn)
-        pad = _pad_pow2(batch)
+        pad = _pad_bucket(batch)
         polys_p = np.concatenate([polys] + [polys[:1]] * (pad - batch))
         chal_p = np.concatenate([challenges] + [challenges[:1]] * (pad - batch))
         ys = np.asarray(eval_(jnp.asarray(polys_p), jnp.asarray(chal_p)))[:batch]
@@ -274,7 +328,7 @@ class Context:
 
     def _fold_msm_host(self, points, scalar_ints):
         """Device MSM over wire points with host scalars; returns golden affine."""
-        pad = _pad_pow2(len(points))
+        pad = _pad_bucket(len(points))
         pts = points + [None] * (pad - len(points))
         sc = scalar_ints + [0] * (pad - len(scalar_ints))
         px, py, pinf = serialization.g1_points_to_device_arrays(pts)
@@ -303,7 +357,7 @@ class Context:
         folded_points_quotients = self._fold_msm_host(quotients, rz)
         lhs1 = gcurve.g1_add(f, folded_points_quotients)
         lhs2 = gcurve.g1_neg(folded_quotients)
-        ok = gpairing.pairing_check([
+        ok = self._pairing_check([
             (lhs1, self.gen_g2),
             (lhs2, self.alpha_g2),
         ])
@@ -468,7 +522,7 @@ class Context:
         folded_weighted_proofs = self._fold_msm_host(proofs_g, weighted)
 
         # folded interpolation polynomial (device, padded batch)
-        pad = _pad_pow2(batch)
+        pad = _pad_bucket(batch)
         evals_p = np.concatenate([evals] + [evals[:1]] * (pad - batch))
         idx_p = np.asarray(list(cell_indices) + [0] * (pad - batch),
                            dtype=np.int32)
@@ -488,7 +542,7 @@ class Context:
         rl = gcurve.g1_add(folded_comms, gcurve.g1_neg(interp_commit))
         rl = gcurve.g1_add(rl, folded_weighted_proofs)
         s_pow_cs_g2 = self.g2_points[SCALARS_PER_CELL]
-        ok = gpairing.pairing_check([
+        ok = self._pairing_check([
             (folded_proofs, s_pow_cs_g2),
             (rl, gcurve.g2_neg(self.gen_g2)),
         ])

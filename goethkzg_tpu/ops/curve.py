@@ -163,7 +163,11 @@ class CurveOps:
             return self.select(mask, acc3, acc2), None
 
         batch_shape = p[2].shape[:-self.F.trailing_dims]
-        init = self.infinity(batch_shape)
+        # infinity init built from p's coords so it inherits p's varying-axes
+        # type (shard_map scan-carry requirement); broadcast to batch shape
+        zlike = jnp.broadcast_to((p[2] ^ p[2]),
+                                 batch_shape + self.F.zero_elem.shape)
+        init = (zlike, zlike, zlike)
         scan_bits = jnp.moveaxis(bits, -1, 0) if per_element else bits
         out, _ = jax.lax.scan(body, init, scan_bits)
         return out

@@ -230,7 +230,9 @@ class FieldSpec:
             acc3 = self.mul(acc2, a)
             return self.select((bit == 1), acc3, acc2), None
 
-        init = jnp.broadcast_to(self.one_mont, a.shape)
+        # init = 1, built from `a` so it inherits a's varying-axes type
+        # (required for scan carries under shard_map)
+        init = (a ^ a) + self.one_mont
         out, _ = jax.lax.scan(body, init, bits)
         return out
 

@@ -38,7 +38,7 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
 
 
 def data_parallel_commit(mesh: Mesh, curve, points_affine, polys_normal,
-                         axis_name: str = "data"):
+                         axis_name: str = "data", window: int = 8):
     """Batch commitment with the blob axis sharded across the mesh.
 
     points replicated, polys [B, N, 16] sharded on B. Returns affine
@@ -46,7 +46,9 @@ def data_parallel_commit(mesh: Mesh, curve, points_affine, polys_normal,
     """
 
     def local(pts, polys):
-        res = jax.vmap(lambda s: msm_mod.msm(curve, pts, s))(polys)
+        res = jax.vmap(
+            lambda s: msm_mod.msm(curve, pts, s, window,
+                                  vary_axes=(axis_name,)))(polys)
         return curve.to_affine(res)
 
     fn = jax.shard_map(
@@ -68,13 +70,15 @@ def point_sharded_msm(mesh: Mesh, curve, points_affine, scalars_normal,
     ndev = mesh.devices.size
 
     def local(pts, scalars):
-        partial_sums = msm_mod.msm_window_sums(curve, pts, scalars, window)
+        partial_sums = msm_mod.msm_window_sums(curve, pts, scalars, window,
+                                               vary_axes=(axis_name,))
         gathered = jax.tree.map(
             lambda c: jax.lax.all_gather(c, axis_name), partial_sums)
         total = jax.tree.map(lambda c: c[0], gathered)
         for d in range(1, ndev):
             total = curve.add(total, jax.tree.map(lambda c: c[d], gathered))
-        return msm_mod.combine_window_sums(curve, total, window)
+        return msm_mod.combine_window_sums(curve, total, window,
+                                           vary_axes=(axis_name,))
 
     fn = jax.shard_map(
         local, mesh=mesh,

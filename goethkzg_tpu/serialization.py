@@ -11,6 +11,7 @@ mirror the reference exactly (reference: serialization.go):
 
 import numpy as np
 
+from . import native
 from .constants import (BYTES_PER_BLOB, BYTES_PER_CELL, R_MOD,
                         SCALARS_PER_BLOB, SCALARS_PER_CELL,
                         SERIALIZED_SCALAR_SIZE)
@@ -24,6 +25,12 @@ _R_WORDS_BE = np.array([(R_MOD >> (16 * (15 - i))) & 0xFFFF for i in range(16)],
 
 def _bytes_to_fr_limbs(data: bytes, count: int) -> np.ndarray:
     """BE 32-byte scalars -> [count, 16] LE 16-bit limbs, with canonical check."""
+    try:
+        out = native.scalars_to_limbs(bytes(data), count)
+    except ValueError as e:
+        raise ErrNonCanonicalScalar(str(e)) from None
+    if out is not None:
+        return out
     arr = np.frombuffer(data, dtype=np.uint8).reshape(count, SERIALIZED_SCALAR_SIZE)
     words_be = (arr[:, 0::2].astype(np.uint32) << 8) | arr[:, 1::2]  # [count, 16] BE
     # canonical (strictly less than r): lexicographic compare, MSW first
@@ -40,6 +47,9 @@ def _bytes_to_fr_limbs(data: bytes, count: int) -> np.ndarray:
 def _fr_limbs_to_bytes(limbs: np.ndarray) -> bytes:
     """[N, 16] LE 16-bit limbs (normal form) -> concatenated BE 32-byte scalars."""
     limbs = np.asarray(limbs, dtype=np.uint32)
+    out = native.limbs_to_scalars(limbs)
+    if out is not None:
+        return out
     words_be = limbs[:, ::-1]
     out = np.empty((limbs.shape[0], 32), dtype=np.uint8)
     out[:, 0::2] = (words_be >> 8).astype(np.uint8)
