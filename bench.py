@@ -30,7 +30,8 @@ def main():
 
     @jax.jit
     def commit(px, py, pinf, polys):
-        res = jax.vmap(lambda s: msm_mod.msm(curve, (px, py, pinf), s))(polys)
+        res = msm_mod.msm_batched(curve, (px, py, pinf), polys,
+                                  shared_points=True)
         return curve.to_affine(res)
 
     rng = np.random.default_rng(0)

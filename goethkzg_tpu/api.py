@@ -132,8 +132,8 @@ class Context:
         curve = self.curve
 
         def commit(points, scalars_normal):
-            res = jax.vmap(lambda s: msm_mod.msm(curve, points, s),
-                           in_axes=0)(scalars_normal)
+            res = msm_mod.msm_batched(curve, points, scalars_normal,
+                                      shared_points=True)
             return curve.to_affine(res)
 
         return jax.jit(commit)
@@ -148,7 +148,8 @@ class Context:
             z = fr.to_mont(z_normal)
             y, q = kzg_engine.quotient_poly(roots, roots_inv, n_inv, poly, z)
             q_normal = fr.from_mont(q)
-            res = jax.vmap(lambda s: msm_mod.msm(curve, points, s))(q_normal)
+            res = msm_mod.msm_batched(curve, points, q_normal,
+                                      shared_points=True)
             return fr.from_mont(y), curve.to_affine(res)
 
         return jax.jit(open_)

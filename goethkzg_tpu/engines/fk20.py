@@ -137,20 +137,16 @@ class FK20:
         scalars = jnp.swapaxes(fft_rows, -3, -2)
         scalars_normal = fr.from_mont(scalars)
 
-        # batched MSM over the 128 frequencies (window=4 for N=64)
+        # batched MSM over the 128 frequencies (window=4 for N=64);
+        # explicit batch axes so the field layer sees 128*64 lanes
         tx, ty, tinf = self.table
-
-        def one_msm(pts, s):
-            return msm_mod.msm(curve, pts, s, window=4)
-
-        msm_v = jax.vmap(one_msm, in_axes=((0, 0, 0), 0))
         lead = scalars_normal.shape[:-3]
-        if lead:
-            flat = scalars_normal.reshape((-1, nc, cs, fr.n))
-            res = jax.vmap(lambda s: msm_v((tx, ty, tinf), s))(flat)
-            res = tuple(c.reshape(lead + c.shape[1:]) for c in res)
-        else:
-            res = msm_v((tx, ty, tinf), scalars_normal)
+        flat = scalars_normal.reshape((-1, cs, fr.n))   # [L*128, 64, 16]
+        reps = flat.shape[0] // nc
+        pts = tuple(jnp.tile(c, (reps,) + (1,) * (c.ndim - 1))
+                    for c in (tx, ty, tinf))
+        res = msm_mod.msm_core(curve, pts, flat, window=4)
+        res = tuple(c.reshape(lead + (nc,) + c.shape[1:]) for c in res)
         # res: Jacobian tuple, lane axis (= 128 frequencies) is the last
         # batch dimension — exactly what the G1 FFT kernels expect.
         ifft = get_g1_fft(2 * cs)

@@ -18,6 +18,27 @@ class CurveOps:
     def __init__(self, F):
         self.F = F
 
+    # -- pallas dispatch --------------------------------------------------------
+    def _pallas_lanes(self, batch_shapes):
+        """Lane count if the pallas point kernels apply, else 0.
+
+        Only for G1 over the base FieldSpec (Fp2/G2 stays on the jnp path),
+        only on TPU backends, and only when wide enough to amortize the
+        kernel dispatch (see ops/pallas_curve.py).
+        """
+        from .field import FieldSpec, _pallas_enabled, _PALLAS_MIN_LANES
+        if not isinstance(self.F, FieldSpec) or not _pallas_enabled():
+            return 0
+        shape = jnp.broadcast_shapes(*batch_shapes)
+        lanes = 1
+        for d in shape:
+            lanes *= d
+        return lanes if lanes >= _PALLAS_MIN_LANES else 0
+
+    def _bcast(self, coords, batch):
+        n = self.F.n
+        return tuple(jnp.broadcast_to(c, batch + (n,)) for c in coords)
+
     # -- constructors ---------------------------------------------------------
     def infinity(self, batch_shape=()):
         F = self.F
@@ -40,6 +61,10 @@ class CurveOps:
     def double(self, p):
         """dbl-2009-l; maps infinity to infinity automatically (Z3 = 2YZ)."""
         F = self.F
+        if self._pallas_lanes([c.shape[:-1] for c in p]):
+            from . import pallas_curve
+            batch = jnp.broadcast_shapes(*[c.shape[:-1] for c in p])
+            return pallas_curve.double(F, self._bcast(p, batch))
         X, Y, Z = p
         A = F.sqr(X)
         B = F.sqr(Y)
@@ -59,6 +84,12 @@ class CurveOps:
     def add(self, p1, p2):
         """Complete Jacobian + Jacobian addition."""
         F = self.F
+        shapes = [c.shape[:-1] for c in (*p1, *p2)]
+        if self._pallas_lanes(shapes):
+            from . import pallas_curve
+            batch = jnp.broadcast_shapes(*shapes)
+            return pallas_curve.add(F, self._bcast(p1, batch),
+                                    self._bcast(p2, batch))
         X1, Y1, Z1 = p1
         X2, Y2, Z2 = p2
         inf1 = F.is_zero(Z1)
@@ -101,6 +132,16 @@ class CurveOps:
         a2_inf: optional bool mask marking infinity entries of a2.
         """
         F = self.F
+        shapes = [c.shape[:-1] for c in (*p1, *a2)]
+        if self._pallas_lanes(shapes):
+            from . import pallas_curve
+            from .field import limbs_to_int
+            batch = jnp.broadcast_shapes(*shapes)
+            inf = (jnp.broadcast_to(a2_inf, batch) if a2_inf is not None
+                   else jnp.zeros(batch, dtype=jnp.uint32))
+            return pallas_curve.add_affine(F, self._bcast(p1, batch),
+                                           self._bcast(a2, batch), inf,
+                                           F.R_mod)
         X1, Y1, Z1 = p1
         x2, y2 = a2
         inf1 = F.is_zero(Z1)

@@ -19,6 +19,8 @@ batch dimensions.
 """
 
 import functools
+import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +28,42 @@ import numpy as np
 
 MASK16 = jnp.uint32(0xFFFF)
 U32 = jnp.uint32
+
+# ---------------------------------------------------------------------------
+# Pallas dispatch: the Montgomery multiply runs as a VMEM-resident Pallas
+# kernel on TPU (5-6x the HBM-bound jnp formulation, see ops/pallas_field.py)
+# whenever (a) the flag allows it, (b) the default backend is a TPU, and
+# (c) there are enough lanes to fill a block.  CPU-mesh code (tests,
+# dryrun_multichip) disables it via `pallas_disabled()` since Mosaic kernels
+# don't lower on the CPU backend.
+# ---------------------------------------------------------------------------
+_PALLAS_TLS = threading.local()
+
+
+def _pallas_enabled() -> bool:
+    if os.environ.get("GOETHKZG_NO_PALLAS") == "1":
+        return False
+    if getattr(_PALLAS_TLS, "disabled", 0):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+class pallas_disabled:
+    """Context manager: force the jnp field path (for CPU-backend traces)."""
+
+    def __enter__(self):
+        _PALLAS_TLS.disabled = getattr(_PALLAS_TLS, "disabled", 0) + 1
+        return self
+
+    def __exit__(self, *exc):
+        _PALLAS_TLS.disabled -= 1
+        return False
+
+
+_PALLAS_MIN_LANES = 256
 
 
 def int_to_limbs(x: int, n: int) -> np.ndarray:
@@ -170,6 +208,18 @@ class FieldSpec:
 
     def mul(self, a, b):
         """Montgomery product: a * b * R^{-1} mod N."""
+        if _pallas_enabled():
+            shape = jnp.broadcast_shapes(a.shape, b.shape)
+            lanes = 1
+            for d in shape[:-1]:
+                lanes *= d
+            if lanes >= _PALLAS_MIN_LANES:
+                from . import pallas_field
+                return pallas_field.mont_mul(self, jnp.broadcast_to(a, shape),
+                                             jnp.broadcast_to(b, shape))
+        return self._mul_jnp(a, b)
+
+    def _mul_jnp(self, a, b):
         n = self.n
         # T = a * b  (2n columns)
         t_cols, t_top = self._conv(a, b, self._idx_full, self._msk_full)

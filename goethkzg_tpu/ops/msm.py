@@ -5,19 +5,17 @@ internal/multiexp/multiexp.go:20-34).  Branch-free formulation shaped for
 a vector machine:
 
 * window digits are extracted vectorized from 16-bit limbs;
-* the point axis is split into chunks that bucket-accumulate *in parallel*
-  (vmapped `lax.scan` whose body does one complete mixed addition per
-  (chunk, window) lane), then chunk bucket arrays merge with a log-depth
-  tree of wide complete adds — this turns the classic sequential bucket
-  walk into ~N/chunks sequential steps of wide VPU ops;
+* the batch, chunk, and window axes are EXPLICIT array dimensions (not
+  vmap) so the field layer sees the full lane width and dispatches to the
+  VMEM-resident Pallas multiply — under vmap each instance would look
+  32-lanes wide and fall back to the HBM-bound jnp path;
+* the point axis is split into chunks that bucket-accumulate in parallel
+  (one `lax.scan` whose body does a [B, C, W]-wide complete mixed
+  addition), then chunk bucket arrays merge with a log-depth tree;
 * the weighted bucket reduction sum_d d*B_d uses a Hillis–Steele suffix
-  scan (log2(buckets) shifted wide adds) + a log-depth tree sum, instead
-  of a 2^w-step scan;
+  scan (log2(buckets) wide adds) + a log-depth tree sum;
 * windows are combined with a Horner chain of doublings (the only
-  inherently sequential part: the top window needs 8*(W-1) squarings).
-
-Batching over independent MSMs (the blob axis) is via `jax.vmap`; points may
-be shared (in_axes=None) or per-instance.
+  inherently sequential part).
 """
 
 import jax
@@ -64,7 +62,6 @@ def _tree_add(curve, pts, axis_from_end: int):
                 return jnp.concatenate(
                     [c, jnp.zeros(pad_shape, dtype=c.dtype)], axis=a)
             pts = tuple(pad(c) for c in pts)
-        a = ax(pts[0])
 
         def half(c, start):
             sl = [slice(None)] * c.ndim
@@ -82,38 +79,15 @@ def _tree_add(curve, pts, axis_from_end: int):
     return tuple(sq)
 
 
-def _bucket_accumulate(curve, px, py, pinf, digits, num_buckets,
-                       vary_axes=()):
-    """Sequential bucket scatter over one point chunk.
+def _weighted_bucket_sum(curve, buckets, vary_axes=(), drop_zero=True):
+    """Weighted bucket reduction in log depth.
 
-    px/py: [N, *e]; pinf: [N]; digits: [N, W].
-    Returns bucket arrays [W, num_buckets, *e].
-    """
-    W = digits.shape[-1]
-    bshape = (W, num_buckets)
-    buckets = _pvary(curve.infinity(bshape), vary_axes)
-    w_idx = jnp.arange(W)
-
-    def body(buckets, inp):
-        x, y, inf, d = inp
-        cur = tuple(b[w_idx, d] for b in buckets)  # [W, *e]
-        ex = jnp.broadcast_to(x, (W,) + x.shape)
-        ey = jnp.broadcast_to(y, (W,) + y.shape)
-        einf = jnp.broadcast_to(inf, (W,))
-        new = curve.add_affine(cur, (ex, ey), a2_inf=einf)
-        buckets = tuple(b.at[w_idx, d].set(v) for b, v in zip(buckets, new))
-        return buckets, None
-
-    buckets, _ = jax.lax.scan(body, buckets, (px, py, pinf, digits))
-    return buckets
-
-
-def _weighted_bucket_sum(curve, buckets, vary_axes=()):
-    """S_w = sum_{d=1}^{D-1} d * B_{w,d} in log depth.
-
-    buckets: tuple of [W, D, *e].  Uses the suffix-sum identity
-    sum_d d*B_d = sum_{d>=1} T_d with T_d = sum_{e>=d} B_e: a Hillis–Steele
-    suffix scan (log2(D) wide adds) followed by a tree sum over d.
+    drop_zero=True: S_w = sum_{d=1}^{D-1} d * B_{w,d} (unsigned digits:
+    index IS the weight, bucket 0 contributes nothing).
+    drop_zero=False: S_w = sum_{d=0}^{D-1} (d+1) * B_{w,d} (signed-digit
+    layout where index i holds |digit| = i+1).
+    Uses the suffix-sum identity: the weighted sum equals the sum of the
+    suffix sums T_d = sum_{e>=d} B_e over the contributing range.
     """
     td = curve.F.trailing_dims
     D = buckets[0].shape[-td - 1]
@@ -131,7 +105,10 @@ def _weighted_bucket_sum(curve, buckets, vary_axes=()):
     while sh < D:
         T = curve.add(T, tuple(shift_down(c, sh) for c in T))
         sh *= 2
-    # drop bucket 0 (digit 0 contributes nothing), sum T_1..T_{D-1}
+
+    if not drop_zero:
+        return _tree_add(curve, T, axis_from_end=0)
+
     def drop0(c):
         a = c.ndim - td - 1
         sl = [slice(None)] * c.ndim
@@ -142,79 +119,180 @@ def _weighted_bucket_sum(curve, buckets, vary_axes=()):
 
 
 def _auto_chunks(n: int) -> int:
-    """Point-axis parallelism: enough lanes to keep the VPU busy without
-    blowing up the bucket-array memory (chunks*W*2^w points live at once)."""
     c = 1
     while c < 8 and n % (2 * c) == 0 and n // (2 * c) >= 64:
         c *= 2
     return c
 
 
+def _bucket_scan(curve, px, py, pinf, digits, num_buckets, vary_axes=()):
+    """Bucket accumulation over explicit [B, C] axes.
+
+    px/py: [B, C, S, *e]; pinf: [B, C, S]; digits: [B, C, S, W].
+    Scans over S; each step is a [B, C, W]-wide complete mixed addition.
+    Returns bucket tuple [B, C, W, num_buckets, *e].
+    """
+    td = curve.F.trailing_dims
+    B, C, S, W = digits.shape
+
+    bshape = (B, C, W, num_buckets)
+    buckets = _pvary(curve.infinity(bshape), vary_axes)
+
+    # scan over the point axis: move S to the front of every xs leaf
+    xs = (jnp.moveaxis(px, 2, 0), jnp.moveaxis(py, 2, 0),
+          jnp.moveaxis(pinf, 2, 0), jnp.moveaxis(digits, 2, 0))
+
+    iota_d = jnp.arange(num_buckets, dtype=jnp.uint32)
+
+    def body(buckets, inp):
+        # One-hot masked gather/merge instead of gather/scatter: TPU XLA
+        # lowers scatters (and batched take/put_along_axis) to serialized
+        # row updates (~20 ms/step measured); the dense select streams the
+        # bucket state at full HBM bandwidth instead.
+        x, y, inf, d = inp                      # x: [B, C, *e]; d: [B, C, W]
+        onehot = (d[..., None] == iota_d)       # [B, C, W, D] bool
+
+        def gather(b):
+            m = onehot.reshape(onehot.shape + (1,) * (b.ndim - onehot.ndim))
+            masked = jnp.where(m, b, jnp.zeros((), dtype=b.dtype))
+            return masked.sum(axis=3, dtype=b.dtype)
+
+        cur = tuple(gather(b) for b in buckets)  # [B, C, W, *e]
+        ex = jnp.broadcast_to(x[:, :, None], cur[0].shape)
+        ey = jnp.broadcast_to(y[:, :, None], cur[1].shape)
+        einf = jnp.broadcast_to(inf[:, :, None], (B, C, W))
+        new = curve.add_affine(cur, (ex, ey), a2_inf=einf)
+
+        def merge(b, v):
+            m = onehot.reshape(onehot.shape + (1,) * (b.ndim - onehot.ndim))
+            return jnp.where(m, jnp.expand_dims(v, 3), b)
+
+        buckets = tuple(merge(b, v) for b, v in zip(buckets, new))
+        return buckets, None
+
+    buckets, _ = jax.lax.scan(body, buckets, xs)
+    return buckets
+
+
+def msm_core(curve, points_affine, scalars_normal, window: int = 8,
+             vary_axes=(), chunks: int | None = None,
+             shared_points: bool = False):
+    """Batched MSM: [B] independent MSMs of size N, explicit batch axes.
+
+    points_affine: (x, y, inf) with shape [B, N, *e] / [B, N]; or, with
+    shared_points=True, unbatched [N, *e] arrays shared across the batch.
+    scalars_normal: [B, N, 16].  Returns a Jacobian tuple with batch [B].
+    """
+    td = curve.F.trailing_dims
+    N_ = scalars_normal.shape[1]
+    if (shared_points and window == 8 and td == 1 and N_ % 512 == 0
+            and not vary_axes):
+        from .field import _pallas_enabled
+        if _pallas_enabled():
+            # fused signed-digit bucket kernel (buckets stay in VMEM)
+            from . import pallas_msm
+            buckets = pallas_msm.bucket_phase(
+                curve.F, points_affine, scalars_normal, curve.F.R_mod)
+            merged = _tree_add(curve, buckets, axis_from_end=2)
+            window_sums = _weighted_bucket_sum(curve, merged,
+                                               drop_zero=False)
+            return combine_window_sums(curve, window_sums, window)
+    if shared_points:
+        B_ = scalars_normal.shape[0]
+        points_affine = tuple(
+            jnp.broadcast_to(c[None], (B_,) + c.shape) for c in points_affine)
+    px, py, pinf = points_affine
+    B, N = scalars_normal.shape[:2]
+    c = _auto_chunks(N) if chunks is None else chunks
+    S = N // c
+    num_buckets = 1 << window
+
+    digits = fr_digits(scalars_normal, window)          # [B, N, W]
+    W = digits.shape[-1]
+
+    def split(a, extra_dims):
+        return a.reshape((B, c, S) + a.shape[2:])
+
+    buckets = _bucket_scan(
+        curve,
+        split(px, td), split(py, td), split(pinf, 0),
+        digits.reshape(B, c, S, W),
+        num_buckets, vary_axes)
+
+    # merge chunks: [B, C, W, D, *e] -> [B, W, D, *e]
+    merged = _tree_add(curve, buckets, axis_from_end=2)
+    # weighted bucket reduction -> window sums [B, W, *e]
+    window_sums = _weighted_bucket_sum(curve, merged, vary_axes)
+    return combine_window_sums(curve, window_sums, window, vary_axes)
+
+
 def msm(curve, points_affine, scalars_normal, window: int = 8,
         vary_axes=(), chunks: int | None = None):
-    """Single MSM: sum_i scalars[i] * P_i  (Pippenger, bucket window `window`).
+    """Single MSM: sum_i scalars[i] * P_i (Pippenger).
 
     points_affine: (x [N, *e], y [N, *e], inf [N]) in Montgomery form.
     scalars_normal: [N, 16] uint32 limbs, canonical (non-Montgomery).
-    Returns a Jacobian point.  Small windows (4) suit small N; 8 suits
-    thousands of points.  vary_axes: shard_map axis names the inputs vary
-    over (needed so scan-carry inits typecheck under shard_map).
+    Returns an unbatched Jacobian point.
     """
-    window_sums = msm_window_sums(curve, points_affine, scalars_normal, window,
-                                  vary_axes, chunks)
-    return combine_window_sums(curve, window_sums, window, vary_axes)
+    pts = tuple(c[None] for c in points_affine)
+    res = msm_core(curve, pts, scalars_normal[None], window, vary_axes,
+                   chunks)
+    return tuple(c[0] for c in res)
+
+
+def msm_batched(curve, points_affine, scalars_normal, shared_points: bool,
+                window: int = 8, chunks: int | None = None):
+    """[B] MSMs; points either shared or per-instance [B, N]."""
+    return msm_core(curve, points_affine, scalars_normal, window,
+                    chunks=chunks, shared_points=shared_points)
 
 
 def msm_window_sums(curve, points_affine, scalars_normal, window: int = 8,
                     vary_axes=(), chunks: int | None = None):
-    """Pippenger bucket phase: per-window sums S_w (Jacobian, lane axis W).
+    """Pippenger bucket phase only: per-window sums S_w (lane axis W).
 
-    Exposed separately so the point-sharded multi-chip MSM (parallel/) can
-    all-gather partial window sums across devices before the Horner combine.
+    Used by the point-sharded multi-chip MSM (parallel/) which all-gathers
+    partial window sums across devices before the Horner combine.
     """
+    td = curve.F.trailing_dims
     px, py, pinf = points_affine
-    digits = fr_digits(scalars_normal, window)  # [N, W]
+    N = scalars_normal.shape[0]
+    c = _auto_chunks(N) if chunks is None else chunks
+    S = N // c
     num_buckets = 1 << window
-    n = px.shape[0]
-    c = _auto_chunks(n) if chunks is None else chunks
+    digits = fr_digits(scalars_normal, window)
+    W = digits.shape[-1]
 
-    if c > 1:
-        def split(a):
-            return a.reshape((c, n // c) + a.shape[1:])
-
-        buckets = jax.vmap(
-            lambda x, y, i, d: _bucket_accumulate(
-                curve, x, y, i, d, num_buckets, vary_axes),
-            in_axes=(0, 0, 0, 0))(split(px), split(py), split(pinf),
-                                  split(digits))
-        # merge chunk bucket arrays: [c, W, D, *e] -> [W, D, *e]
-        buckets = _tree_add(curve, buckets, axis_from_end=2)
-    else:
-        buckets = _bucket_accumulate(curve, px, py, pinf, digits,
-                                     num_buckets, vary_axes)
-
-    return _weighted_bucket_sum(curve, buckets, vary_axes)
+    buckets = _bucket_scan(
+        curve,
+        px.reshape((1, c, S) + px.shape[1:]),
+        py.reshape((1, c, S) + py.shape[1:]),
+        pinf.reshape(1, c, S),
+        digits.reshape(1, c, S, W),
+        num_buckets, vary_axes)
+    merged = _tree_add(curve, buckets, axis_from_end=2)
+    ws = _weighted_bucket_sum(curve, merged, vary_axes)
+    return tuple(x[0] for x in ws)                      # [W, *e]
 
 
 def combine_window_sums(curve, window_sums, window: int = 8, vary_axes=()):
-    """Horner combine over windows, MSB window first (scan; doubling the
-    initial infinity is a harmless no-op)."""
+    """Horner combine over the last batch axis (windows), MSB first."""
+    td = curve.F.trailing_dims
+
+    def wfirst(c):
+        return jnp.moveaxis(c, c.ndim - td - 1, 0)[::-1]
+
+    ws_msb_first = tuple(wfirst(c) for c in window_sums)
+    batch = ws_msb_first[0].shape[1:-td] if td else ws_msb_first[0].shape[1:]
+
     def horner_body(acc, s_w):
         for _ in range(window):
             acc = curve.double(acc)
         return curve.add(acc, s_w), None
 
-    ws_msb_first = tuple(c[::-1] for c in window_sums)
-    init = _pvary(curve.infinity(()), vary_axes)
+    init = _pvary(curve.infinity(tuple(batch)), vary_axes)
     result, _ = jax.lax.scan(horner_body, init, ws_msb_first)
     return result
-
-
-def msm_batched(curve, points_affine, scalars_normal, shared_points: bool):
-    """vmap over a leading batch axis of scalars (and points unless shared)."""
-    in_axes = (None if shared_points else (0, 0, 0), 0)
-    return jax.vmap(lambda pts, s: msm(curve, pts, s), in_axes=in_axes)(
-        points_affine, scalars_normal)
 
 
 def msm_naive(curve, points_affine, scalars_normal):

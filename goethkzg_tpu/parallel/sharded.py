@@ -21,6 +21,7 @@ Results are bit-identical regardless of mesh shape (mesh-invariance is
 part of the test suite).
 """
 
+import contextlib
 from functools import partial
 
 import jax
@@ -28,8 +29,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops import field as field_mod
 from ..ops import msm as msm_mod
 from ..ops.field import fr_spec
+
+
+def _pallas_ctx(mesh: Mesh):
+    """Pallas kernels don't lower on the CPU backend (virtual test meshes)."""
+    if mesh.devices.flat[0].platform == "cpu":
+        return field_mod.pallas_disabled()
+    return contextlib.nullcontext()
 
 
 def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
@@ -46,16 +55,18 @@ def data_parallel_commit(mesh: Mesh, curve, points_affine, polys_normal,
     """
 
     def local(pts, polys):
-        res = jax.vmap(
-            lambda s: msm_mod.msm(curve, pts, s, window,
-                                  vary_axes=(axis_name,)))(polys)
+        B = polys.shape[0]
+        bpts = tuple(jnp.broadcast_to(c[None], (B,) + c.shape) for c in pts)
+        res = msm_mod.msm_core(curve, bpts, polys, window,
+                               vary_axes=(axis_name,))
         return curve.to_affine(res)
 
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=((P(), P(), P()), P(axis_name)),
         out_specs=(P(axis_name), P(axis_name), P(axis_name)))
-    return fn(points_affine, polys_normal)
+    with _pallas_ctx(mesh):
+        return fn(points_affine, polys_normal)
 
 
 def point_sharded_msm(mesh: Mesh, curve, points_affine, scalars_normal,
@@ -84,7 +95,8 @@ def point_sharded_msm(mesh: Mesh, curve, points_affine, scalars_normal,
         local, mesh=mesh,
         in_specs=((P(axis_name), P(axis_name), P(axis_name)), P(axis_name)),
         out_specs=(P(), P(), P()))
-    return fn(points_affine, scalars_normal)
+    with _pallas_ctx(mesh):
+        return fn(points_affine, scalars_normal)
 
 
 def domain_sharded_inner_product(mesh: Mesh, a_mont, b_mont,
@@ -115,4 +127,5 @@ def domain_sharded_inner_product(mesh: Mesh, a_mont, b_mont,
     fn = jax.shard_map(local, mesh=mesh,
                        in_specs=(P(axis_name), P(axis_name)),
                        out_specs=P())
-    return fn(a_mont, b_mont)
+    with _pallas_ctx(mesh):
+        return fn(a_mont, b_mont)

@@ -63,3 +63,14 @@ def test_mont_roundtrip_and_canonicality():
             jax.device_put(int_to_limbs(M, 16)[None], CPU))
     assert [limbs_to_int(r) for r in np.asarray(fm)] == [0, 1, M - 1, 12345]
     assert bool(jnp.all(lt)) and not bool(big[0])
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _jnp_field_path():
+    """These tests trace for the CPU backend: keep the jnp field path."""
+    from goethkzg_tpu.ops import field as _field
+    with _field.pallas_disabled():
+        yield

@@ -71,3 +71,14 @@ def test_g1_fft_matches_golden_dft_and_roundtrips():
         back = jax.jit(fft.ifft)(fwd)
     assert _from_device(curve, fwd) == _golden_dft(pts, g)
     assert _from_device(curve, back) == pts
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _jnp_field_path():
+    """These tests trace for the CPU backend: keep the jnp field path."""
+    from goethkzg_tpu.ops import field as _field
+    with _field.pallas_disabled():
+        yield

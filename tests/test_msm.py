@@ -81,3 +81,14 @@ def test_msm_all_zero_scalars_is_infinity():
     pts, _, arrays, _ = _setup(4)
     slimbs = np.zeros((4, 16), dtype=np.uint32)
     assert _run_device_msm(arrays, slimbs, 4, 1) is None
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _jnp_field_path():
+    """These tests trace for the CPU backend: keep the jnp field path."""
+    from goethkzg_tpu.ops import field as _field
+    with _field.pallas_disabled():
+        yield

@@ -64,3 +64,14 @@ def test_coset_fft_matches_naive():
         expect = sum(vals[i] * pow(pt, i, R_MOD) for i in range(N)) % R_MOD
         assert fr.to_int(c[k]) == expect
     assert all(fr.to_int(rt[i]) == vals[i] for i in range(N))
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _jnp_field_path():
+    """These tests trace for the CPU backend: keep the jnp field path."""
+    from goethkzg_tpu.ops import field as _field
+    with _field.pallas_disabled():
+        yield
