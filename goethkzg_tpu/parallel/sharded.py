@@ -61,10 +61,12 @@ def data_parallel_commit(mesh: Mesh, curve, points_affine, polys_normal,
                                vary_axes=(axis_name,))
         return curve.to_affine(res)
 
-    fn = jax.shard_map(
+    # jit the shard_map: called eagerly it executes per-primitive (each
+    # op becomes its own tiny SPMD program -- hours of dispatch overhead)
+    fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=((P(), P(), P()), P(axis_name)),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name)))
+        out_specs=(P(axis_name), P(axis_name), P(axis_name))))
     with _pallas_ctx(mesh):
         return fn(points_affine, polys_normal)
 
@@ -91,10 +93,13 @@ def point_sharded_msm(mesh: Mesh, curve, points_affine, scalars_normal,
         return msm_mod.combine_window_sums(curve, total, window,
                                            vary_axes=(axis_name,))
 
-    fn = jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=((P(axis_name), P(axis_name), P(axis_name)), P(axis_name)),
-        out_specs=(P(), P(), P()))
+        out_specs=(P(), P(), P()),
+        # scan carries are marked varying via _pvary, so the VMA checker
+        # cannot infer the (actually replicated) outputs
+        check_vma=False))
     with _pallas_ctx(mesh):
         return fn(points_affine, scalars_normal)
 
@@ -124,8 +129,8 @@ def domain_sharded_inner_product(mesh: Mesh, a_mont, b_mont,
         limbs_reduced = fr.to_mont(fr.from_mont(limbs))
         return fr.add(limbs_reduced, carry_contrib)
 
-    fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(axis_name), P(axis_name)),
-                       out_specs=P())
+    fn = jax.jit(jax.shard_map(local, mesh=mesh,
+                               in_specs=(P(axis_name), P(axis_name)),
+                               out_specs=P(), check_vma=False))
     with _pallas_ctx(mesh):
         return fn(a_mont, b_mont)
