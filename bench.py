@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 GNARK_SINGLE_CORE_COMMITS_PER_S_EST = 400.0
-BATCH = 16
+BATCH = 64
 REPS = 3
 
 
@@ -54,7 +54,7 @@ def main():
     print(json.dumps({
         "metric": "blob_to_kzg_commitment_throughput",
         "value": round(blobs_per_s, 2),
-        "unit": "blobs/s (batch=16, 1 chip)",
+        "unit": f"blobs/s (batch={BATCH}, 1 chip)",
         "vs_baseline": round(blobs_per_s / GNARK_SINGLE_CORE_COMMITS_PER_S_EST, 3),
     }))
 
