@@ -118,6 +118,30 @@ def _weighted_bucket_sum(curve, buckets, vary_axes=(), drop_zero=True):
     return _tree_add(curve, tuple(drop0(c) for c in T), axis_from_end=0)
 
 
+def _seq_weighted_sum(curve, buckets):
+    """S_w = sum_d (d+1) * B_{w,d} (signed-digit layout) via the classic
+    two-accumulator bucket walk: running += B_d (d = D-1..0), total +=
+    running.  2*D adds at [batch, W] lane width — 4x fewer adds than the
+    suffix-scan formulation; with a full batch the lanes stay saturated,
+    so the lower work wins (measured ~16% end-to-end on the commit path).
+
+    buckets: tuple of [*, D, *e].  Returns a tuple of [*, *e].
+    """
+    td = curve.F.trailing_dims
+    bshape = buckets[0].shape[:-td - 1]
+    init = (curve.infinity(bshape), curve.infinity(bshape))
+    xs = tuple(jnp.moveaxis(c, -td - 1, 0)[::-1] for c in buckets)
+
+    def body(carry, bd):
+        running, total = carry
+        running = curve.add(running, bd)
+        total = curve.add(total, running)
+        return (running, total), None
+
+    (_, total), _ = jax.lax.scan(body, init, xs)
+    return total
+
+
 def _auto_chunks(n: int) -> int:
     c = 1
     while c < 8 and n % (2 * c) == 0 and n // (2 * c) >= 64:
@@ -194,8 +218,7 @@ def msm_core(curve, points_affine, scalars_normal, window: int = 8,
             buckets = pallas_msm.bucket_phase(
                 curve.F, points_affine, scalars_normal, curve.F.R_mod)
             merged = _tree_add(curve, buckets, axis_from_end=2)
-            window_sums = _weighted_bucket_sum(curve, merged,
-                                               drop_zero=False)
+            window_sums = _seq_weighted_sum(curve, merged)
             return combine_window_sums(curve, window_sums, window)
     if shared_points:
         B_ = scalars_normal.shape[0]

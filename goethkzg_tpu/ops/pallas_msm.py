@@ -205,7 +205,10 @@ def bucket_phase(spec, points_affine, scalars_normal, one_mont_int: int):
     assert N % (C_IN * 128) == 0 or N % (C_IN * 64) == 0
     S = N // C_IN
     GC = 1
-    while S > 512:
+    # Longer point streams per grid cell => fewer chunks to tree-merge in
+    # the XLA tail (the merge is (GC*C_IN-1)*W*D complete adds per blob);
+    # measured: s_cap 2048 beats 512 by ~12% end-to-end at N=4096.
+    while S > 2048:
         S //= 2
         GC *= 2
     # chunk layout: point j = ((gc*C_IN + ci)*S + t)
