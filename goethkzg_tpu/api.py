@@ -235,6 +235,7 @@ class Context:
         polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
         commit = self._jit("commit", self._commit_fn)
         ax, ay, ainf = commit(self.lagrange_brp, jnp.asarray(polys))
+        ax, ay, ainf = np.asarray(ax), np.asarray(ay), np.asarray(ainf)
         return [serialization.serialize_g1(self._affine_to_golden(ax, ay, ainf, i))
                 for i in range(len(blobs))]
 
@@ -417,6 +418,9 @@ class Context:
                 for i in range(CELLS_PER_EXT_BLOB)]
 
     def _serialize_proofs(self, ax, ay, ainf):
+        # one transfer per array — per-element device indexing costs a
+        # device slice + host round-trip each (seconds over a remote tunnel)
+        ax, ay, ainf = np.asarray(ax), np.asarray(ay), np.asarray(ainf)
         return [serialization.serialize_g1(
             self._affine_to_golden(ax, ay, ainf, i))
             for i in range(CELLS_PER_EXT_BLOB)]
@@ -532,8 +536,9 @@ class Context:
         interp = self.mp_key.fold_interpolation_poly(
             self.fr.to_mont(jnp.asarray(evals_p)), jnp.asarray(idx_p),
             jnp.asarray(rp_mont))
+        interp_host = np.asarray(interp)     # single device->host transfer
         interp_normal = np.stack(
-            [int_to_limbs(self.fr.to_int(np.asarray(interp)[i]), 16)
+            [int_to_limbs(self.fr.to_int(interp_host[i]), 16)
              for i in range(SCALARS_PER_CELL)])
         # commit to it with the first 64 monomial points (device MSM)
         fold = self._jit("interp_commit", self._interp_commit_fn)
