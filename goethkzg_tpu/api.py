@@ -17,14 +17,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import fiatshamir, serialization
+from . import fiatshamir, hostcurve as hc, serialization
 from .constants import (BYTES_PER_BLOB, CELLS_PER_EXT_BLOB, R_MOD,
                         SCALARS_PER_BLOB, SCALARS_PER_CELL,
                         SCALARS_PER_EXT_BLOB)
 from .engines import kzg as kzg_engine
 from .errors import (ErrBatchLengthCheck, ErrVerifyOpeningProof, KZGError)
 from .golden import curve as gcurve
-from .golden import pairing as gpairing
 from .ops import msm as msm_mod
 from .ops.curve import CurveOps
 from .ops.field import fp_spec, fr_spec, int_to_limbs
@@ -45,10 +44,12 @@ def _pad_bucket(n: int) -> int:
     """Pad batch sizes to a small fixed set of shapes.
 
     Every distinct padded shape costs a full XLA compile of the batched
-    kernels; bucketing to {1, 8, 128, pow2 beyond} keeps the compile count
-    (and the persistent-cache size) tiny at negligible runtime padding cost.
+    kernels; bucketing to {1, 8, 32, 128, pow2 beyond} keeps the compile
+    count (and the persistent-cache size) tiny; the 32 bucket caps the
+    padding overhead for mid-size verification batches at 4x (vs the 14x a
+    9-blob batch would pay padded straight to 128).
     """
-    for b in (1, 8, 128):
+    for b in (1, 8, 32, 128):
         if n <= b:
             return b
     return _pad_pow2(n)
@@ -128,13 +129,19 @@ class Context:
             self._jits[key] = builder()
         return self._jits[key]
 
+    def _affine_normal(self, res):
+        """Jacobian -> (normal-form affine x, y, inf): from_mont on device so
+        the host serializer is a straight byte repack (no per-point Python)."""
+        ax, ay, ainf = self.curve.to_affine(res)
+        return self.fp.from_mont(ax), self.fp.from_mont(ay), ainf
+
     def _commit_fn(self):
         curve = self.curve
 
         def commit(points, scalars_normal):
             res = msm_mod.msm_batched(curve, points, scalars_normal,
                                       shared_points=True)
-            return curve.to_affine(res)
+            return self._affine_normal(res)
 
         return jax.jit(commit)
 
@@ -150,7 +157,7 @@ class Context:
             q_normal = fr.from_mont(q)
             res = msm_mod.msm_batched(curve, points, q_normal,
                                       shared_points=True)
-            return fr.from_mont(y), curve.to_affine(res)
+            return fr.from_mont(y), self._affine_normal(res)
 
         return jax.jit(open_)
 
@@ -186,16 +193,14 @@ class Context:
         A pair with an infinity member contributes the identity (gnark
         PairingCheck semantics).
 
-        Default is the HOST pairing: the device pairing (ops/pairing.py) is
-        bit-correct but latency-bound today (~1.6 s vs ~0.33 s host — a
-        63-step Miller scan plus ~320-step final-exp scans over 48-lane-wide
-        Fp ops leave the VPU idle).  GOETHKZG_DEVICE_PAIRING=1 opts in; the
-        optimization track is a lane-batched tower (run both Miller loops +
-        all 54 Fp2 mults of each f12 mul as one wide batched Fp kernel).
+        Default is the native host pairing (~20 ms C++ Miller loops +
+        final exp, hostcurve.py; pure-Python golden fallback ~330 ms).
+        The pairing is ONE per batch, so its latency is off the throughput
+        path; the device pairing (ops/pairing.py, bit-correct) stays as a
+        GOETHKZG_DEVICE_PAIRING=1 opt-in for chips-only deployments.
         """
         if os.environ.get("GOETHKZG_DEVICE_PAIRING") != "1":
-            return gpairing.pairing_check(
-                [(p, q) for p, q in pairs if p is not None and q is not None])
+            return hc.pairing_check(pairs)
         from .ops.field2 import fp2_field
         fp, f2 = self.fp, fp2_field()
         args = []
@@ -214,14 +219,16 @@ class Context:
 
         def fold(px, py, pinf, scalars_normal):
             res = msm_mod.msm(curve, (px, py, pinf), scalars_normal)
-            return curve.to_affine(tuple(c[None] for c in res))
+            return self._affine_normal(tuple(c[None] for c in res))
 
         return jax.jit(fold)
 
     def _affine_to_golden(self, ax, ay, ainf, i=0):
+        """Normal-form affine device arrays -> golden tuple (row i)."""
         if bool(ainf[i]):
             return None
-        return (self.fp.to_int(np.asarray(ax[i])), self.fp.to_int(np.asarray(ay[i])))
+        return (self.fp.to_int(np.asarray(ax[i]), mont=False),
+                self.fp.to_int(np.asarray(ay[i]), mont=False))
 
     # ------------------------------------------------------- EIP-4844 provers
     def blob_to_kzg_commitment(self, blob: bytes) -> bytes:
@@ -235,9 +242,7 @@ class Context:
         polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
         commit = self._jit("commit", self._commit_fn)
         ax, ay, ainf = commit(self.lagrange_brp, jnp.asarray(polys))
-        ax, ay, ainf = np.asarray(ax), np.asarray(ay), np.asarray(ainf)
-        return [serialization.serialize_g1(self._affine_to_golden(ax, ay, ainf, i))
-                for i in range(len(blobs))]
+        return self._serialize_proofs(ax, ay, ainf)
 
     def compute_kzg_proof(self, blob: bytes, z_bytes: bytes):
         """Returns (proof, y) serialized. reference: prove.go:85."""
@@ -280,12 +285,12 @@ class Context:
 
     def _verify_opening(self, comm, z: int, y: int, quotient):
         # [alpha - z]G2 ; [f(alpha) - y]G1 ; e(C - [y]G1, -G2) e(W, [a-z]G2) == 1
-        z_g2 = gcurve.g2_scalar_mul(self.gen_g2, z)
-        alpha_minus_z = gcurve.g2_add(self.alpha_g2, gcurve.g2_neg(z_g2))
-        y_g1 = gcurve.g1_scalar_mul(self.gen_g1, y)
-        c_minus_y = gcurve.g1_add(comm, gcurve.g1_neg(y_g1))
+        z_g2 = hc.g2_scalar_mul(self.gen_g2, z)
+        alpha_minus_z = hc.g2_add(self.alpha_g2, hc.g2_neg(z_g2))
+        y_g1 = hc.g1_scalar_mul(self.gen_g1, y)
+        c_minus_y = hc.g1_add(comm, hc.g1_neg(y_g1))
         ok = self._pairing_check([
-            (c_minus_y, gcurve.g2_neg(self.gen_g2)),
+            (c_minus_y, hc.g2_neg(self.gen_g2)),
             (quotient, alpha_minus_z),
         ])
         if not ok:
@@ -306,8 +311,8 @@ class Context:
             return
 
         polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
-        comms = [serialization.deserialize_g1(c) for c in commitments]
-        quotients = [serialization.deserialize_g1(p) for p in proofs]
+        comms = serialization.deserialize_g1_batch(commitments)
+        quotients = serialization.deserialize_g1_batch(proofs)
         challenges = fiatshamir.compute_challenges_batch(blobs, commitments)
 
         # evaluate every blob at its challenge (data-parallel device kernel)
@@ -353,12 +358,12 @@ class Context:
         folded_evals = 0
         for ri, yi in zip(r_powers, y_ints):
             folded_evals = (folded_evals + ri * yi) % R_MOD
-        folded_evals_commit = gcurve.g1_scalar_mul(self.gen_g1, folded_evals)
-        f = gcurve.g1_add(folded_comms, gcurve.g1_neg(folded_evals_commit))
+        folded_evals_commit = hc.g1_scalar_mul(self.gen_g1, folded_evals)
+        f = hc.g1_add(folded_comms, hc.g1_neg(folded_evals_commit))
         rz = [ri * zi % R_MOD for ri, zi in zip(r_powers, z_ints)]
         folded_points_quotients = self._fold_msm_host(quotients, rz)
-        lhs1 = gcurve.g1_add(f, folded_points_quotients)
-        lhs2 = gcurve.g1_neg(folded_quotients)
+        lhs1 = hc.g1_add(f, folded_points_quotients)
+        lhs2 = hc.g1_neg(folded_quotients)
         ok = self._pairing_check([
             (lhs1, self.gen_g2),
             (lhs2, self.alpha_g2),
@@ -397,7 +402,7 @@ class Context:
         def run(coeffs_mont):
             evals = fr.from_mont(fk.extended_evaluations(coeffs_mont))
             proofs = fk.multi_open_proofs(coeffs_mont)
-            return evals, curve.to_affine(proofs)
+            return evals, self._affine_normal(proofs)
 
         return jax.jit(run)
 
@@ -419,11 +424,14 @@ class Context:
 
     def _serialize_proofs(self, ax, ay, ainf):
         # one transfer per array — per-element device indexing costs a
-        # device slice + host round-trip each (seconds over a remote tunnel)
+        # device slice + host round-trip each (seconds over a remote tunnel);
+        # compression is one native batch call over packed limb bytes
         ax, ay, ainf = np.asarray(ax), np.asarray(ay), np.asarray(ainf)
-        return [serialization.serialize_g1(
-            self._affine_to_golden(ax, ay, ainf, i))
-            for i in range(CELLS_PER_EXT_BLOB)]
+        n = ax.shape[0]
+        interleaved = np.empty((2 * n, ax.shape[1]), dtype=np.uint32)
+        interleaved[0::2] = ax
+        interleaved[1::2] = ay
+        return hc.g1_compress_normal_limbs(interleaved, ainf)
 
     def compute_cells(self, blob: bytes) -> list:
         """reference: api_eip7594.go:12."""
@@ -507,8 +515,8 @@ class Context:
         if any(ci >= CELLS_PER_EXT_BLOB for ci in cell_indices):
             raise ErrInvalidCellID()
 
-        comms_g = [serialization.deserialize_g1(c) for c in unique]
-        proofs_g = [serialization.deserialize_g1(p) for p in proofs]
+        comms_g = serialization.deserialize_g1_batch(unique)
+        proofs_g = serialization.deserialize_g1_batch(proofs)
         evals = np.stack([serialization.deserialize_cell(c) for c in cells])
 
         r = secrets.randbelow(R_MOD - 1) + 1
@@ -545,12 +553,12 @@ class Context:
         ax, ay, ainf = fold(self.mp_key.g1_points, jnp.asarray(interp_normal))
         interp_commit = self._affine_to_golden(ax, ay, ainf)
 
-        rl = gcurve.g1_add(folded_comms, gcurve.g1_neg(interp_commit))
-        rl = gcurve.g1_add(rl, folded_weighted_proofs)
+        rl = hc.g1_add(folded_comms, hc.g1_neg(interp_commit))
+        rl = hc.g1_add(rl, folded_weighted_proofs)
         s_pow_cs_g2 = self.g2_points[SCALARS_PER_CELL]
         ok = self._pairing_check([
             (folded_proofs, s_pow_cs_g2),
-            (rl, gcurve.g2_neg(self.gen_g2)),
+            (rl, hc.g2_neg(self.gen_g2)),
         ])
         if not ok:
             raise ErrVerifyOpeningProof()
@@ -560,7 +568,7 @@ class Context:
 
         def fn(points, scalars_normal):
             res = msm_mod.msm(curve, points, scalars_normal, window=4)
-            return curve.to_affine(tuple(c[None] for c in res))
+            return self._affine_normal(tuple(c[None] for c in res))
 
         return jax.jit(fn)
 

@@ -46,7 +46,9 @@ def _pallas_enabled() -> bool:
     if getattr(_PALLAS_TLS, "disabled", 0):
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        # strictly TPU: the kernels use pltpu (Mosaic) memory spaces and do
+        # not lower on CUDA/ROCm/METAL backends
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

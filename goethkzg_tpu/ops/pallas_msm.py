@@ -42,7 +42,9 @@ def signed_digits(scalars_normal):
 
     d_w in [-128, 127]: d'_w = d_w - 256*(d_w >= 128), carry into w+1.
     idx = |d'| - 1 (0 when d' == 0 — masked by `zero`), sign = 1 if d' < 0.
-    The top window's digit stays <= 128 for scalars < r < 2^255.
+    PRECONDITION: scalars < 2^255.  The top window is NOT recoded (kept
+    unsigned, value <= 0x7F + carry = 128 <= D), so the final borrow carry
+    can never be dropped; scalars >= 2^255 would need a 33rd window.
     """
     shifts = jnp.arange(2, dtype=jnp.uint32) * WBITS
     d = ((scalars_normal[..., None] >> shifts) & jnp.uint32(0xFF))
@@ -51,6 +53,9 @@ def signed_digits(scalars_normal):
     carry = jnp.zeros(d.shape[:-1], dtype=jnp.int32)
     for w in range(W):
         cur = d[..., w] + carry
+        if w == W - 1:
+            outs.append(cur)        # unsigned top window, in [0, 128]
+            break
         ge = (cur >= 128).astype(jnp.int32)
         outs.append(cur - 256 * ge)
         carry = ge

@@ -17,8 +17,10 @@ so XLA inserts the collectives (ICI within a slice, DCN across hosts):
   limbs summed across <= 2^15 devices cannot overflow uint32), followed by
   one local carry resolution.
 
-Results are bit-identical regardless of mesh shape (mesh-invariance is
-part of the test suite).
+Results are equal regardless of mesh shape (bit-identical for the
+data-parallel path; equal as group elements for the collective MSM, whose
+reduction order differs by design) — tests/test_sharded.py pins both on a
+1-device vs 8-device virtual CPU mesh.
 """
 
 import contextlib
@@ -32,6 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops import field as field_mod
 from ..ops import msm as msm_mod
 from ..ops.field import fr_spec
+from ..utils import jaxcfg  # noqa: F401  (persistent compilation cache)
 
 
 def _pallas_ctx(mesh: Mesh):
@@ -47,11 +50,14 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
 
 
 def data_parallel_commit(mesh: Mesh, curve, points_affine, polys_normal,
-                         axis_name: str = "data", window: int = 8):
+                         axis_name: str = "data", window: int = 8,
+                         to_affine: bool = True):
     """Batch commitment with the blob axis sharded across the mesh.
 
     points replicated, polys [B, N, 16] sharded on B. Returns affine
-    coordinate arrays [B, ...] sharded on B.
+    coordinate arrays [B, ...] sharded on B (or Jacobian with
+    to_affine=False — skips the Fermat-inversion scan, which dominates the
+    compile time of tiny dryrun/test graphs).
     """
 
     def local(pts, polys):
@@ -59,7 +65,7 @@ def data_parallel_commit(mesh: Mesh, curve, points_affine, polys_normal,
         bpts = tuple(jnp.broadcast_to(c[None], (B,) + c.shape) for c in pts)
         res = msm_mod.msm_core(curve, bpts, polys, window,
                                vary_axes=(axis_name,))
-        return curve.to_affine(res)
+        return curve.to_affine(res) if to_affine else res
 
     # jit the shard_map: called eagerly it executes per-primitive (each
     # op becomes its own tiny SPMD program -- hours of dispatch overhead)

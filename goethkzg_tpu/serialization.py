@@ -11,7 +11,7 @@ mirror the reference exactly (reference: serialization.go):
 
 import numpy as np
 
-from . import native
+from . import hostcurve, native
 from .constants import (BYTES_PER_BLOB, BYTES_PER_CELL, R_MOD,
                         SCALARS_PER_BLOB, SCALARS_PER_CELL,
                         SERIALIZED_SCALAR_SIZE)
@@ -98,12 +98,19 @@ def deserialize_g1(data: bytes, subgroup_check: bool = True):
 
     Raises golden.curve.DeserializationError on malformed input.
     reference: serialization.go:108 (gnark SetBytes semantics).
+    Native C++ fast path (sqrt + endomorphism subgroup check) with the
+    golden fallback — see hostcurve.py.
     """
-    return gcurve.g1_decompress(bytes(data), subgroup_check=subgroup_check)
+    return hostcurve.g1_decompress(bytes(data), subgroup_check=subgroup_check)
+
+
+def deserialize_g1_batch(datas, subgroup_check: bool = True):
+    """Batched wire-point decode: one native call for a list of encodings."""
+    return hostcurve.g1_decompress_many(datas, subgroup_check=subgroup_check)
 
 
 def serialize_g1(pt) -> bytes:
-    return gcurve.g1_compress(pt)
+    return hostcurve.g1_compress(pt)
 
 
 def g1_points_to_device_arrays(points):

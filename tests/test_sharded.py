@@ -1,0 +1,137 @@
+"""Mesh-invariance tests for the multi-chip sharding layer.
+
+The reference's concurrency contract is that goroutine parallelism never
+changes results (reference: verify.go:152-169 BatchPar vs sequential,
+consensus_specs_test.go:342-344).  The TPU analog: the same computation on
+a 1-device and an 8-device virtual CPU mesh must agree —
+
+* bit-identical for the data-parallel path (per-blob work is device-local);
+* equal as group elements for the collective MSM (the all-gather fold
+  changes the Jacobian representative by design), checked after host-side
+  affine normalization against the pure-Python golden oracle.
+
+Graphs are deliberately tiny (N=16, window=2, 64-bit scalars): the 1-core
+CPU XLA backend takes minutes on full-size crypto graphs.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from goethkzg_tpu.constants import P_MOD
+from goethkzg_tpu.golden import curve as gcurve
+from goethkzg_tpu.golden import field as gf
+from goethkzg_tpu.golden.srs import insecure_srs
+from goethkzg_tpu.ops.curve import CurveOps
+from goethkzg_tpu.ops.field import fp_spec, fr_spec, int_to_limbs
+from goethkzg_tpu.parallel import sharded
+from goethkzg_tpu.serialization import g1_points_to_device_arrays
+
+N = 16
+WINDOW = 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    _, lag, _ = insecure_srs(N, secret=1234)
+    pts = g1_points_to_device_arrays(lag)
+    return lag, pts
+
+
+def _meshes():
+    devs = jax.devices("cpu")
+    return [sharded.make_mesh(devs[:1]), sharded.make_mesh(devs[:8])]
+
+
+def _put(mesh, arr, shard_leading):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = P("data") if shard_leading else P()
+    return jax.device_put(np.asarray(arr), NamedSharding(mesh, spec))
+
+
+def _to_limbs(ints):
+    arr = np.asarray(ints)
+    flat = [int_to_limbs(int(v), 16) for v in arr.reshape(-1)]
+    return np.stack(flat).reshape(arr.shape + (16,))
+
+
+def _jac_to_golden(fp, X, Y, Z):
+    x, y, z = (fp.to_int(np.asarray(c)) for c in (X, Y, Z))
+    if z == 0:
+        return None
+    zi = gf.fp_inv(z)
+    zi2 = zi * zi % P_MOD
+    return (x * zi2 % P_MOD, y * zi2 % P_MOD * zi % P_MOD)
+
+
+def _golden_msm(points, scalars):
+    acc = None
+    for p, s in zip(points, scalars):
+        acc = gcurve.g1_add(acc, gcurve.g1_scalar_mul(p, int(s)))
+    return acc
+
+
+def test_data_parallel_commit_mesh_invariant(setup):
+    lag, pts = setup
+    fp = fp_spec()
+    curve = CurveOps(fp)
+    rng = np.random.default_rng(7)
+    poly_ints = rng.integers(1, 2**63, size=(8, N), dtype=np.int64)
+    polys = _to_limbs(poly_ints)
+
+    results = []
+    for mesh in _meshes():
+        p = tuple(_put(mesh, a, False) for a in pts)
+        out = sharded.data_parallel_commit(
+            mesh, curve, p, _put(mesh, polys, True), window=WINDOW,
+            to_affine=False)
+        results.append(tuple(np.asarray(c) for c in out))
+
+    # per-blob work is device-local: bit-identical across mesh shapes
+    for a, b in zip(results[0], results[1]):
+        np.testing.assert_array_equal(a, b)
+    # and correct vs the golden oracle
+    jx, jy, jz = results[1]
+    for b in range(8):
+        got = _jac_to_golden(fp, jx[b], jy[b], jz[b])
+        assert got == _golden_msm(lag, poly_ints[b])
+
+
+def test_point_sharded_msm_mesh_invariant(setup):
+    lag, pts = setup
+    fp = fp_spec()
+    curve = CurveOps(fp)
+    rng = np.random.default_rng(8)
+    scalar_ints = rng.integers(1, 2**63, size=N, dtype=np.int64)
+    scalars = _to_limbs(scalar_ints)
+
+    affine = []
+    for mesh in _meshes():
+        p = tuple(_put(mesh, a, True) for a in pts)
+        res = sharded.point_sharded_msm(mesh, curve, p,
+                                        _put(mesh, scalars, True),
+                                        window=WINDOW)
+        affine.append(_jac_to_golden(fp, *[np.asarray(c) for c in res]))
+
+    want = _golden_msm(lag, scalar_ints)
+    assert affine[0] == want
+    assert affine[1] == want
+
+
+def test_domain_sharded_inner_product_mesh_invariant():
+    fr = fr_spec()
+    rng = np.random.default_rng(9)
+    a_ints = rng.integers(1, 2**63, size=N, dtype=np.int64)
+    b_ints = rng.integers(1, 2**63, size=N, dtype=np.int64)
+    a_mont = np.stack([fr.from_int(int(v)) for v in a_ints])
+    b_mont = np.stack([fr.from_int(int(v)) for v in b_ints])
+
+    outs = []
+    for mesh in _meshes():
+        out = sharded.domain_sharded_inner_product(
+            mesh, _put(mesh, a_mont, True), _put(mesh, b_mont, True))
+        outs.append(fr.to_int(np.asarray(out)))
+
+    want = sum(int(a) * int(b) for a, b in zip(a_ints, b_ints)) % fr.modulus
+    assert outs[0] == want
+    assert outs[1] == want
