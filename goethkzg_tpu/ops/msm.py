@@ -21,6 +21,8 @@ a vector machine:
 import jax
 import jax.numpy as jnp
 
+from . import proj
+
 
 def _pvary(tree, vary_axes):
     """Mark scan-carry inits as varying over shard_map axes (no-op outside)."""
@@ -316,6 +318,99 @@ def combine_window_sums(curve, window_sums, window: int = 8, vary_axes=()):
     init = _pvary(curve.infinity(tuple(batch)), vary_axes)
     result, _ = jax.lax.scan(horner_body, init, ws_msb_first)
     return result
+
+
+def msm_fixed_base(curve, table, scalars_normal, interpret: bool = False,
+                   wbits: int = 4):
+    """Batched MSM against a precomputed fixed-base digit table.
+
+    table: (tx, ty) [PT, D, n, L] from pallas_tablemsm.build_table_device;
+    scalars_normal: [B, N, 16].  Returns a Jacobian tuple [B].
+
+    The kernel emits one projective partial sum per (blob, lane); the tail
+    tree-adds the 128 lanes (7 levels of complete projective adds) — no
+    Horner doublings, no bucket reduction.  wbits=4 keeps the one-hot
+    digit select at 8 rows (the D-row stream is what bounded the round-1
+    bucket kernel) at the price of 2x the mixed adds — the measured
+    optimum for the commit path.
+    """
+    from . import pallas_tablemsm
+    spec = curve.F
+    packed = pallas_tablemsm.pack_digits_lanes(scalars_normal, wbits=wbits)
+    res = pallas_tablemsm.table_msm(spec, table, packed, interpret)
+    x, y, z = proj.tree_add(spec, res, axis_from_end=0)       # [B] proj
+    return proj.to_jacobian(spec, (x, y, z))
+
+
+def _proj_weighted_sum(spec, buckets):
+    """S = sum_d (d+1) * B_d over the D axis (signed-digit layout), via the
+    suffix-sum identity, in complete projective coordinates.
+
+    buckets: (X, Y, Z) each [..., D, n].  Returns [..., n] tuple.
+    """
+
+    def shift_tuple(pts, sh):
+        X, Y, Z = pts
+        a = X.ndim - 2
+        sl = [slice(None)] * X.ndim
+        sl[a] = slice(sh, None)
+        pad_shape = X.shape[:a] + (sh,) + X.shape[a + 1:]
+        zero = jnp.zeros(pad_shape, dtype=X.dtype)
+        one = jnp.broadcast_to(spec.one_mont, pad_shape)
+        return (jnp.concatenate([X[tuple(sl)], zero], axis=a),
+                jnp.concatenate([Y[tuple(sl)], one], axis=a),
+                jnp.concatenate([Z[tuple(sl)], zero], axis=a))
+
+    D = buckets[0].shape[-2]
+    T = buckets
+    sh = 1
+    while sh < D:
+        T = proj.add(spec, T, shift_tuple(T, sh))
+        sh *= 2
+    return proj.tree_add(spec, T, axis_from_end=0)
+
+
+def msm_instances(curve, points_affine, scalars_normal,
+                  points_sel=("id",), digits_sel=("id",), NI: int = None,
+                  wbits: int = 8, interpret: bool = False):
+    """NI independent MSMs via the generalized fused bucket kernel.
+
+    points_affine: (px, py, pinf) with point-set rows [G, N(, n)];
+    scalars_normal: digit rows [Gd, N, 16].  Instance i uses point row
+    points_sel(i) and scalar row digits_sel(i) (("id",), ("div", k),
+    ("mod", k)).  Returns a Jacobian tuple with batch [NI].
+
+    Falls back to the XLA scan formulation (msm_core) when Pallas is
+    unavailable (CPU meshes / tests).
+    """
+    from .field import _pallas_enabled
+    if NI is None:
+        NI = scalars_normal.shape[0]
+
+    if not (_pallas_enabled() or interpret):
+        def sel(rows, s):
+            if s[0] == "id":
+                return rows
+            idx = (jnp.arange(NI) // s[1] if s[0] == "div"
+                   else jnp.arange(NI) % s[1])
+            return jnp.take(rows, idx, axis=0)
+
+        pts = tuple(sel(c, points_sel) for c in points_affine)
+        sc = sel(scalars_normal, digits_sel)
+        return msm_core(curve, pts, sc, window=min(wbits, 8))
+
+    from . import pallas_msm2
+    spec = curve.F
+    px, py, pinf = points_affine
+    prepped = pallas_msm2.prep_points(px, py, pinf, wbits)
+    packed = pallas_msm2.pack_digits_inst(scalars_normal, wbits)
+    buckets = pallas_msm2.bucket_phase_inst(
+        spec, prepped, packed, NI, points_sel, digits_sel, wbits, interpret)
+    # [NI, C_IN, W, D, n] projective -> tree-add chunks -> weighted sum
+    merged = proj.tree_add(spec, buckets, axis_from_end=2)    # [NI, W, D]
+    ws = _proj_weighted_sum(spec, merged)                     # [NI, W] proj
+    ws_jac = proj.to_jacobian(spec, ws)
+    return combine_window_sums(curve, ws_jac, window=wbits)
 
 
 def msm_naive(curve, points_affine, scalars_normal):

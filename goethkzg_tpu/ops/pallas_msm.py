@@ -37,29 +37,34 @@ C_IN = 4          # point chunks per grid cell (lanes = C_IN * W = 128)
 L = C_IN * W
 
 
-def signed_digits(scalars_normal):
-    """[..., 16] normal limbs -> (idx, sign, zero) each [..., W] int32.
+def signed_digits(scalars_normal, wbits: int = WBITS):
+    """[..., 16] normal limbs -> (idx, sign, zero) each [..., 256/wbits].
 
-    d_w in [-128, 127]: d'_w = d_w - 256*(d_w >= 128), carry into w+1.
-    idx = |d'| - 1 (0 when d' == 0 — masked by `zero`), sign = 1 if d' < 0.
-    PRECONDITION: scalars < 2^255.  The top window is NOT recoded (kept
-    unsigned, value <= 0x7F + carry = 128 <= D), so the final borrow carry
-    can never be dropped; scalars >= 2^255 would need a 33rd window.
+    Signed window recoding: d'_w = d_w - 2^wbits * (d_w >= 2^(wbits-1)),
+    carry into w+1; idx = |d'| - 1 (0 when d' == 0 — masked by `zero`),
+    sign = 1 if d' < 0.  PRECONDITION: scalars < 2^255.  The top window is
+    NOT recoded (kept unsigned, value <= 2^(wbits-1)-1 + carry
+    = 2^(wbits-1)), so the final borrow carry can never be dropped;
+    scalars >= 2^255 would need an extra window.  wbits must divide 16.
     """
-    shifts = jnp.arange(2, dtype=jnp.uint32) * WBITS
-    d = ((scalars_normal[..., None] >> shifts) & jnp.uint32(0xFF))
-    d = d.reshape(scalars_normal.shape[:-1] + (W,)).astype(jnp.int32)
+    assert 16 % wbits == 0
+    nw = 256 // wbits
+    half = 1 << (wbits - 1)
+    per_limb = 16 // wbits
+    shifts = jnp.arange(per_limb, dtype=jnp.uint32) * wbits
+    d = ((scalars_normal[..., None] >> shifts) & jnp.uint32((1 << wbits) - 1))
+    d = d.reshape(scalars_normal.shape[:-1] + (nw,)).astype(jnp.int32)
     outs = []
     carry = jnp.zeros(d.shape[:-1], dtype=jnp.int32)
-    for w in range(W):
+    for w in range(nw):
         cur = d[..., w] + carry
-        if w == W - 1:
-            outs.append(cur)        # unsigned top window, in [0, 128]
+        if w == nw - 1:
+            outs.append(cur)        # unsigned top window, in [0, 2^(wbits-1)]
             break
-        ge = (cur >= 128).astype(jnp.int32)
-        outs.append(cur - 256 * ge)
+        ge = (cur >= half).astype(jnp.int32)
+        outs.append(cur - 2 * half * ge)
         carry = ge
-    ds = jnp.stack(outs, axis=-1)                # [..., W] in [-128, 128]
+    ds = jnp.stack(outs, axis=-1)                # [..., nw], |d| <= half
     sign = (ds < 0).astype(jnp.int32)
     mag = jnp.abs(ds)
     zero = (mag == 0).astype(jnp.int32)
