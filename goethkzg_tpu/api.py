@@ -58,9 +58,17 @@ def _pad_bucket(n: int) -> int:
 class Context:
     """Holds all precomputed state (reference: api.go:17-28)."""
 
-    def __init__(self, setup: dict | None = None, use_cache: bool = True):
+    def __init__(self, setup: dict | None = None, use_cache: bool = True,
+                 check_well_formed: bool = False):
+        """check_well_formed subgroup-checks every setup point before use
+        (reference: trusted_setup.go:45-87 — opt-in here because the
+        embedded mainnet setup ships pre-validated and the check re-runs
+        on every construction otherwise)."""
         if setup is None:
             setup = load_trusted_setup_json(DEFAULT_SETUP_PATH)
+        if check_well_formed:
+            from .trusted_setup import check_trusted_setup_is_well_formed
+            check_trusted_setup_is_well_formed(setup)
         parsed = parse_trusted_setup(setup, cache=use_cache)
 
         self.fr = fr_spec()
@@ -92,6 +100,7 @@ class Context:
         self._fk20 = None
         self._recovery = None
         self._mp_key = None
+        self._commit_table = None
         self._jits = {}
 
     # -------------------------------------------------- lazy EIP-7594 engines
@@ -135,8 +144,34 @@ class Context:
         ax, ay, ainf = self.curve.to_affine(res)
         return self.fp.from_mont(ax), self.fp.from_mont(ay), ainf
 
+    def _use_commit_table(self) -> bool:
+        """Fixed-base table path: TPU only, and only for setups whose
+        Lagrange key has no infinity points (any real setup)."""
+        from .ops.field import _pallas_enabled
+        return _pallas_enabled() and not bool(np.asarray(
+            self.lagrange_brp[2]).any())
+
+    @property
+    def commit_table(self):
+        """4-bit signed-digit multiples of the brp Lagrange key — the
+        fixed-base table both prover MSMs stream (reference srs.go:56 keeps
+        only the raw key; gnark's generic Pippenger cannot pre-expand a
+        fixed base, the TPU kernel can).  ~400 MB in HBM, built on device
+        once per process."""
+        if self._commit_table is None:
+            from .ops import pallas_tablemsm as ptm
+            self._commit_table = ptm.build_table_device(
+                self.curve, self.lagrange_brp, wbits=4, pair_order="wN")
+        return self._commit_table
+
     def _commit_fn(self):
         curve = self.curve
+        if self._use_commit_table():
+            def commit_t(tx, ty, scalars_normal):
+                res = msm_mod.msm_fixed_base(curve, (tx, ty), scalars_normal,
+                                             wbits=4)
+                return self._affine_normal(res)
+            return jax.jit(commit_t)
 
         def commit(points, scalars_normal):
             res = msm_mod.msm_batched(curve, points, scalars_normal,
@@ -145,21 +180,42 @@ class Context:
 
         return jax.jit(commit)
 
+    def _commit(self, scalars_normal):
+        """Batched commit against the Lagrange brp key ([B, 4096, 16] normal
+        scalars -> normal-form affine arrays)."""
+        commit = self._jit("commit", self._commit_fn)
+        if self._use_commit_table():
+            tx, ty = self.commit_table
+            return commit(tx, ty, scalars_normal)
+        return commit(self.lagrange_brp, scalars_normal)
+
     def _open_fn(self):
         fr, curve = self.fr, self.curve
         roots, roots_inv = self.roots_brp, self.roots_brp_inv
         n_inv = self.domain.n_inv_mont
+        use_table = self._use_commit_table()
 
         def open_(points, poly_normal, z_normal):
             poly = fr.to_mont(poly_normal)
             z = fr.to_mont(z_normal)
             y, q = kzg_engine.quotient_poly(roots, roots_inv, n_inv, poly, z)
             q_normal = fr.from_mont(q)
-            res = msm_mod.msm_batched(curve, points, q_normal,
-                                      shared_points=True)
+            if use_table:
+                res = msm_mod.msm_fixed_base(curve, points, q_normal,
+                                             wbits=4)
+            else:
+                res = msm_mod.msm_batched(curve, points, q_normal,
+                                          shared_points=True)
             return fr.from_mont(y), self._affine_normal(res)
 
         return jax.jit(open_)
+
+    def _open(self, poly_normal, z_normal):
+        """Evaluate + quotient-commit against the Lagrange brp key."""
+        open_ = self._jit("open", self._open_fn)
+        if self._use_commit_table():
+            return open_(self.commit_table, poly_normal, z_normal)
+        return open_(self.lagrange_brp, poly_normal, z_normal)
 
     def _eval_fn(self):
         fr = self.fr
@@ -234,23 +290,20 @@ class Context:
     def blob_to_kzg_commitment(self, blob: bytes) -> bytes:
         """reference: prove.go:13."""
         poly = serialization.deserialize_blob(blob)
-        commit = self._jit("commit", self._commit_fn)
-        ax, ay, ainf = commit(self.lagrange_brp, jnp.asarray(poly[None]))
+        ax, ay, ainf = self._commit(jnp.asarray(poly[None]))
         return serialization.serialize_g1(self._affine_to_golden(ax, ay, ainf))
 
     def blob_to_kzg_commitment_batch(self, blobs) -> list:
         polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
-        commit = self._jit("commit", self._commit_fn)
-        ax, ay, ainf = commit(self.lagrange_brp, jnp.asarray(polys))
+        ax, ay, ainf = self._commit(jnp.asarray(polys))
         return self._serialize_proofs(ax, ay, ainf)
 
     def compute_kzg_proof(self, blob: bytes, z_bytes: bytes):
         """Returns (proof, y) serialized. reference: prove.go:85."""
         poly = serialization.deserialize_blob(blob)
         z = serialization.deserialize_scalar(z_bytes)
-        open_ = self._jit("open", self._open_fn)
-        y, (ax, ay, ainf) = open_(self.lagrange_brp, jnp.asarray(poly[None]),
-                                  jnp.asarray(z[None]))
+        y, (ax, ay, ainf) = self._open(jnp.asarray(poly[None]),
+                                       jnp.asarray(z[None]))
         proof = serialization.serialize_g1(self._affine_to_golden(ax, ay, ainf))
         y_bytes = serialization.serialize_fr_normal(np.asarray(y[0]))
         return proof, y_bytes
@@ -261,9 +314,8 @@ class Context:
         # subgroup-check the commitment (validation only)
         serialization.deserialize_g1(commitment, subgroup_check=True)
         challenge = fiatshamir.compute_challenge_limbs(bytes(blob), bytes(commitment))
-        open_ = self._jit("open", self._open_fn)
-        _, (ax, ay, ainf) = open_(self.lagrange_brp, jnp.asarray(poly[None]),
-                                  jnp.asarray(challenge[None]))
+        _, (ax, ay, ainf) = self._open(jnp.asarray(poly[None]),
+                                       jnp.asarray(challenge[None]))
         return serialization.serialize_g1(self._affine_to_golden(ax, ay, ainf))
 
     # ----------------------------------------------------- EIP-4844 verifiers

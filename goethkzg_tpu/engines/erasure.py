@@ -20,19 +20,27 @@ from ..ops.ntt import CosetDomain, get_domain
 
 
 class DataRecovery:
-    """reference: erasure_code.go:20-73."""
+    """reference: erasure_code.go:20-73.
 
-    def __init__(self):
+    Production shape is (64, 128) -> 8192-point codeword; the size params
+    exist for the small-N CPU differential tests (tests/test_erasure.py).
+    """
+
+    def __init__(self, block_size: int = SCALARS_PER_CELL,
+                 num_blocks: int = CELLS_PER_EXT_BLOB,
+                 coset_gen: int = RECOVERY_COSET_GEN):
         self.fr = fr_spec()
-        self.block_size = SCALARS_PER_CELL           # 64
-        self.num_blocks = CELLS_PER_EXT_BLOB         # 128
+        self.block_size = block_size                 # 64
+        self.num_blocks = num_blocks                 # 128
+        self.ext_size = block_size * num_blocks      # 8192
+        self.poly_size = self.ext_size // 2          # 4096
         self.domain_blocks = get_domain(self.num_blocks)
-        self.domain_ext = get_domain(SCALARS_PER_EXT_BLOB)
-        self.coset = CosetDomain(self.domain_ext, RECOVERY_COSET_GEN)
+        self.domain_ext = get_domain(self.ext_size)
+        self.coset = CosetDomain(self.domain_ext, coset_gen)
         self._recover_jit = None
 
     def blocks_needed(self) -> int:
-        return SCALARS_PER_BLOB // self.block_size   # 64
+        return self.poly_size // self.block_size     # 64
 
     def vanishing_poly_coeffs(self, missing_block_indices) -> np.ndarray:
         """Z(X) vanishing on the roots of the missing blocks, expanded to the
@@ -50,7 +58,7 @@ class DataRecovery:
                 new[i] = (new[i] + c * nx) % R_MOD
                 new[i + 1] = (new[i + 1] + c) % R_MOD
             poly = new
-        z = np.zeros((SCALARS_PER_EXT_BLOB, fr.n), dtype=np.uint32)
+        z = np.zeros((self.ext_size, fr.n), dtype=np.uint32)
         for i, c in enumerate(poly):
             z[i * self.block_size] = fr.from_int(c)  # Montgomery
         return z
@@ -70,7 +78,7 @@ class DataRecovery:
             inv_zx = fr.batch_inv(coset_zx)
             quotient = fr.mul(coset_dz, inv_zx)
             coeffs = coset.coset_ifft(quotient)
-            return coeffs[..., :SCALARS_PER_BLOB, :]
+            return coeffs[..., :self.poly_size, :]
 
         return jax.jit(recover)
 

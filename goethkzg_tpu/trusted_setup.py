@@ -60,9 +60,16 @@ def _points_to_arrays(points):
 
 
 def check_trusted_setup_is_well_formed(setup: dict):
-    """Subgroup-check every point (reference: trusted_setup.go:45-87)."""
-    for h in list(setup["g1_lagrange"]) + list(setup["g1_monomial"]):
-        gcurve.g1_decompress(bytes.fromhex(h[2:]), subgroup_check=True)
+    """Subgroup-check every point (reference: trusted_setup.go:45-87).
+
+    G1 rides the native batch codec (endomorphism subgroup check); G2 is
+    per-point golden (only a handful of points).  Raises DeserializationError
+    on any malformed or out-of-subgroup point.
+    """
+    from . import hostcurve
+    g1_bytes = [bytes.fromhex(h[2:])
+                for h in list(setup["g1_lagrange"]) + list(setup["g1_monomial"])]
+    hostcurve.g1_decompress_many(g1_bytes, subgroup_check=True)
     for h in setup["g2_monomial"]:
         gcurve.g2_decompress(bytes.fromhex(h[2:]), subgroup_check=True)
 
