@@ -24,6 +24,7 @@ reduction order differs by design) — tests/test_sharded.py pins both on a
 """
 
 import contextlib
+import functools
 from functools import partial
 
 import jax
@@ -108,6 +109,124 @@ def point_sharded_msm(mesh: Mesh, curve, points_affine, scalars_normal,
         check_vma=False))
     with _pallas_ctx(mesh):
         return fn(points_affine, scalars_normal)
+
+
+@functools.cache
+def _four_step_twiddles(n1: int, n2: int, inverse: bool):
+    """tw[k1, i2] = w_N^{±k1*i2} (Montgomery), N = n1*n2, host-built once."""
+    from ..constants import R_MOD
+    from ..ops.ntt import root_of_unity
+    fr = fr_spec()
+    n = n1 * n2
+    w = root_of_unity(n)
+    if inverse:
+        w = pow(w, -1, R_MOD)
+    tw = np.zeros((n1, n2, fr.n), dtype=np.uint32)
+    col = [pow(w, k1, R_MOD) for k1 in range(n1)]
+    for i2 in range(n2):
+        for k1 in range(n1):
+            tw[k1, i2] = fr.from_int(pow(col[k1], i2, R_MOD))
+    return jnp.asarray(tw)
+
+
+def domain_sharded_fft(mesh: Mesh, x_mont, n1: int, n2: int,
+                       inverse: bool = False, axis_name: str = "data"):
+    """Four-step NTT of N = n1*n2 points with ONE all-to-all.
+
+    This is the multi-chip analog of the reference's single-threaded
+    recursive FFT (reference: internal/kzg/fft.go:95-144) for domains too
+    large (or too numerous) for one chip: column FFTs are local, the
+    transpose is a mesh all-to-all over ICI, row FFTs are local.
+
+    Input  x [n1, n2, 16] Montgomery, row-major element i = i1*n2 + i2,
+           sharded on axis 1 (i2).
+    Output y [n1, n2, 16] sharded on axis 0, with the standard four-step
+           digit-reversed layout: y[k1, k2] = X_hat[k2*n1 + k1].
+    (Callers compose transforms so the permutation cancels, or fold it
+    into their gather indices — same convention as the brp domains.)
+
+    inverse=True computes the inverse NTT including the 1/N scale.
+    """
+    D = mesh.devices.size
+    assert n2 % D == 0 and n1 % D == 0
+    from ..ops.ntt import get_domain
+    fr = fr_spec()
+    d1, d2 = get_domain(n1), get_domain(n2)
+    tw = _four_step_twiddles(n1, n2, inverse)
+
+    def local(x, tw_local):
+        # x: [n1, n2/D, 16] — FFT each column (length n1, axis 0)
+        xt = jnp.moveaxis(x, 0, -2)                   # [n2/D, n1, 16]
+        y = d1.ifft(xt) if inverse else d1.fft(xt)    # [n2/D, k1, 16]
+        y = fr.mul(y, jnp.moveaxis(tw_local, 0, -2))
+        # transpose via all-to-all: split k1, concat i2
+        y = jax.lax.all_to_all(y, axis_name, split_axis=1, concat_axis=0,
+                               tiled=True)            # [n2, n1/D, 16]
+        yt = jnp.moveaxis(y, 0, -2)                   # [n1/D, n2, 16]
+        return d2.ifft(yt) if inverse else d2.fft(yt)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, axis_name)),
+        out_specs=P(axis_name), check_vma=False))
+    with _pallas_ctx(mesh):
+        return fn(x_mont, tw)
+
+
+def cells_sharded_proofs(mesh: Mesh, fk, poly_coeff_mont,
+                         axis_name: str = "data"):
+    """FK20 multi-open with the coset/frequency axis sharded over the mesh.
+
+    The two MSM stages of engines/fk20.py shard cleanly (the reference runs
+    the analogous loops on goroutines — internal/kzg_multi/fk20/fk20.go:58-70,
+    toeplitz.go:114):
+
+    * stage 1 — each device runs the per-frequency Toeplitz MSMs for its
+      nc/D frequencies against its shard of the FFT'd SRS table;
+    * the h-commitments are all-gathered in affine form (nc * 2 * 24 words
+      — KBs over ICI);
+    * stage 2 — each device computes its nc/D proofs via the compacted
+      65-column composite map.
+
+    poly_coeff_mont: [poly_size, 16] (replicated).  Returns affine
+    (x, y, inf) arrays [nc], proofs sharded on the mesh axis.
+    """
+    fr, curve = fk.fr, fk.curve
+    F = curve.F
+    nc, cs = fk.num_cosets, fk.coset_size
+    D = mesh.devices.size
+    assert nc % D == 0
+    tx, ty, tinf = fk.table                       # [nc, cs] point arrays
+    k_idx = fk._s2_k_idx                          # [nc, P]
+    s2_scalars = jnp.asarray(fk._s2_scalars)      # [nc, P, 16]
+
+    def local(poly, txl, tyl, tinfl, k_idxl, s2l):
+        scalars = fk._toeplitz_scalars(poly[None])[0]       # [nc, cs, 16]
+        my = jax.lax.axis_index(axis_name)
+        local_scal = jax.lax.dynamic_slice_in_dim(
+            scalars, my * (nc // D), nc // D, axis=0)
+        h = msm_mod.msm_core(curve, (txl, tyl, tinfl), local_scal, window=4,
+                             vary_axes=(axis_name,))
+        hx, hy, hinf = curve.to_affine(h)                   # [nc/D]
+        gx = jax.lax.all_gather(hx, axis_name, tiled=True)  # [nc]
+        gy = jax.lax.all_gather(hy, axis_name, tiled=True)
+        ginf = jax.lax.all_gather(hinf, axis_name, tiled=True)
+        # stage 2: my nc/D proofs, each a P-point MSM over gathered h
+        px = jnp.take(gx, k_idxl, axis=0)                   # [nc/D, P, n]
+        py = jnp.take(gy, k_idxl, axis=0)
+        pinf = jnp.take(ginf, k_idxl, axis=0)
+        proofs = msm_mod.msm_core(curve, (px, py, pinf), s2l, window=4,
+                                  vary_axes=(axis_name,))
+        return curve.to_affine(proofs)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False))
+    with _pallas_ctx(mesh):
+        return fn(poly_coeff_mont, tx, ty, tinf, k_idx, s2_scalars)
 
 
 def domain_sharded_inner_product(mesh: Mesh, a_mont, b_mont,

@@ -30,9 +30,14 @@ def pytest_configure(config):
 def has_accelerator() -> bool:
     if os.environ.get("GOETHKZG_FORCE_HEAVY") == "1":
         return True
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # CPU-only run requested: skip the backend probe entirely — when the
+        # axon TPU tunnel is down, default_backend() retries for ~25 min
+        # before failing, which would stall every CPU-only test run.
+        return False
     try:
         import jax
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

@@ -118,6 +118,74 @@ def test_point_sharded_msm_mesh_invariant(setup):
     assert affine[1] == want
 
 
+def test_domain_sharded_fft_mesh_invariant():
+    """Four-step sharded NTT == single-device Domain.fft (reindexed)."""
+    from goethkzg_tpu.constants import R_MOD
+    from goethkzg_tpu.ops.ntt import get_domain
+    fr = fr_spec()
+    n1 = n2 = 8
+    nn = n1 * n2
+    rng = np.random.default_rng(10)
+    ints = [int(x) % R_MOD for x in rng.integers(0, 1 << 62, size=nn)]
+    x_mont = np.stack([fr.from_int(v) for v in ints]).reshape(n1, n2, fr.n)
+
+    ref = np.asarray(get_domain(nn).fft(
+        np.stack([fr.from_int(v) for v in ints])))
+
+    for mesh in _meshes():
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        xs = jax.device_put(x_mont, NamedSharding(mesh, P(None, "data")))
+        y = np.asarray(sharded.domain_sharded_fft(mesh, xs, n1, n2))
+        # y[k1, k2] = X_hat[k2*n1 + k1]
+        for k1 in range(0, n1, 3):
+            for k2 in range(0, n2, 3):
+                np.testing.assert_array_equal(y[k1, k2], ref[k2 * n1 + k1])
+
+    # inverse round-trips (including the 1/N scale): ifft(fft(x)) needs the
+    # digit-reversed layout transposed back, so check via a fresh forward
+    yi = np.asarray(sharded.domain_sharded_fft(
+        _meshes()[1], jax.device_put(
+            x_mont, NamedSharding(_meshes()[1],
+                                  jax.sharding.PartitionSpec(None, "data"))),
+        n1, n2, inverse=True))
+    ref_i = np.asarray(get_domain(nn).ifft(
+        np.stack([fr.from_int(v) for v in ints])))
+    np.testing.assert_array_equal(yi[1, 2], ref_i[2 * n1 + 1])
+
+
+def test_cells_sharded_proofs_mesh_invariant():
+    """Sharded FK20 == single-device engine output (affine equality)."""
+    from goethkzg_tpu.engines.fk20 import FK20
+    from goethkzg_tpu.ops import field as field_mod
+
+    POLY, CS = 16, 4
+    mono, _, _ = insecure_srs(POLY, secret=777)
+    arrays = g1_points_to_device_arrays(mono)
+    fp = fp_spec()
+    curve = CurveOps(fp)
+    fr = fr_spec()
+    with field_mod.pallas_disabled(), jax.default_device(jax.devices("cpu")[0]):
+        fk = FK20(curve, arrays, poly_size=POLY, coset_size=CS)
+        rng = np.random.default_rng(11)
+        ints = [int(x) % fr.modulus
+                for x in rng.integers(0, 1 << 62, size=POLY)]
+        poly_mont = np.stack([fr.from_int(v) for v in ints])
+
+        want = fk.multi_open_proofs(np.asarray(poly_mont)[None])
+        wx, wy, winf = (np.asarray(c) for c in curve.to_affine(
+            tuple(c[0] for c in want)))
+
+        for mesh in _meshes():
+            ax, ay, ainf = (np.asarray(c) for c in
+                            sharded.cells_sharded_proofs(mesh, fk, poly_mont))
+            np.testing.assert_array_equal(np.asarray(ainf), winf)
+            for k in range(fk.num_cosets):
+                if winf[k]:
+                    continue
+                assert fp.to_int(ax[k]) == fp.to_int(wx[k]), f"coset {k}"
+                assert fp.to_int(ay[k]) == fp.to_int(wy[k]), f"coset {k}"
+
+
 def test_domain_sharded_inner_product_mesh_invariant():
     fr = fr_spec()
     rng = np.random.default_rng(9)
