@@ -111,6 +111,61 @@ def point_sharded_msm(mesh: Mesh, curve, points_affine, scalars_normal,
         return fn(points_affine, scalars_normal)
 
 
+def make_mesh_2d(devices=None, n_hosts: int = 1,
+                 axis_names=("host", "chip")) -> Mesh:
+    """2D mesh for multi-host runs: leading axis = hosts (DCN), trailing
+    axis = chips within a host (ICI).  On a real pod slice pass
+    jax.devices() ordered host-major (the default)."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) % n_hosts == 0
+    grid = np.array(devices).reshape(n_hosts, len(devices) // n_hosts)
+    return Mesh(grid, axis_names)
+
+
+def point_sharded_msm_2d(mesh: Mesh, curve, points_affine, scalars_normal,
+                         window: int = 8, axis_names=("host", "chip")):
+    """point_sharded_msm over a (host, chip) mesh with a hierarchical
+    combine that keeps DCN traffic minimal.
+
+    The point axis is sharded over BOTH mesh axes.  Per-window partial
+    sums are folded in two stages: an all-gather + fold over the chip
+    axis (ICI — cheap, wide), then an all-gather + fold of the per-host
+    results over the host axis, so only W points per host cross the DCN
+    instead of W x chips.  This is the multi-host shape of the
+    reference's MSM parallelism (reference:
+    internal/multiexp/multiexp.go:20-34 fans out goroutines; here the
+    fan-in is explicit in the collective hierarchy).  Returns a
+    replicated Jacobian point, equal as a group element to the
+    single-device MSM for any mesh shape.
+    """
+    host_ax, chip_ax = axis_names
+    n_hosts, n_chips = mesh.shape[host_ax], mesh.shape[chip_ax]
+
+    def _gather_fold(tree, axis_name, count):
+        gathered = jax.tree.map(
+            lambda c: jax.lax.all_gather(c, axis_name), tree)
+        total = jax.tree.map(lambda c: c[0], gathered)
+        for d in range(1, count):
+            total = curve.add(total, jax.tree.map(lambda c: c[d], gathered))
+        return total
+
+    def local(pts, scalars):
+        partial_sums = msm_mod.msm_window_sums(curve, pts, scalars, window,
+                                               vary_axes=axis_names)
+        per_host = _gather_fold(partial_sums, chip_ax, n_chips)   # ICI
+        total = _gather_fold(per_host, host_ax, n_hosts)          # DCN
+        return msm_mod.combine_window_sums(curve, total, window,
+                                           vary_axes=axis_names)
+
+    shard = P(axis_names)  # point axis split over host x chip jointly
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=((shard, shard, shard), shard),
+        out_specs=(P(), P(), P()), check_vma=False))
+    with _pallas_ctx(mesh):
+        return fn(points_affine, scalars_normal)
+
+
 @functools.cache
 def _four_step_twiddles(n1: int, n2: int, inverse: bool):
     """tw[k1, i2] = w_N^{±k1*i2} (Montgomery), N = n1*n2, host-built once."""

@@ -49,10 +49,10 @@ def _put(mesh, arr, shard_leading):
     return jax.device_put(np.asarray(arr), NamedSharding(mesh, spec))
 
 
-def _to_limbs(ints):
+def _to_limbs(ints, n_limbs=16):
     arr = np.asarray(ints)
-    flat = [int_to_limbs(int(v), 16) for v in arr.reshape(-1)]
-    return np.stack(flat).reshape(arr.shape + (16,))
+    flat = [int_to_limbs(int(v), n_limbs) for v in arr.reshape(-1)]
+    return np.stack(flat).reshape(arr.shape + (n_limbs,))
 
 
 def _jac_to_golden(fp, X, Y, Z):
@@ -116,6 +116,29 @@ def test_point_sharded_msm_mesh_invariant(setup):
     want = _golden_msm(lag, scalar_ints)
     assert affine[0] == want
     assert affine[1] == want
+
+
+def test_point_sharded_msm_2d_host_chip_mesh(setup):
+    """Hierarchical (host x chip) = (DCN x ICI) combine: a (2, 4) 2D mesh
+    must equal the golden MSM (and hence the flat-mesh results above).
+    32-bit 2-limb scalars keep the 1-core CPU graph small; every window
+    runs identical code."""
+    lag, pts = setup
+    fp = fp_spec()
+    curve = CurveOps(fp)
+    rng = np.random.default_rng(9)
+    scalar_ints = rng.integers(1, 2**31, size=N, dtype=np.int64)
+    scalars = _to_limbs(scalar_ints, n_limbs=2)
+
+    mesh = sharded.make_mesh_2d(jax.devices("cpu")[:8], n_hosts=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    shard = NamedSharding(mesh, P(("host", "chip")))
+    p = tuple(jax.device_put(np.asarray(a), shard) for a in pts)
+    res = sharded.point_sharded_msm_2d(
+        mesh, curve, p, jax.device_put(scalars, shard), window=WINDOW)
+
+    got = _jac_to_golden(fp, *[np.asarray(c) for c in res])
+    assert got == _golden_msm(lag, scalar_ints)
 
 
 def test_domain_sharded_fft_mesh_invariant():
