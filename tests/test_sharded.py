@@ -10,8 +10,12 @@ a 1-device and an 8-device virtual CPU mesh must agree —
   changes the Jacobian representative by design), checked after host-side
   affine normalization against the pure-Python golden oracle.
 
-Graphs are deliberately tiny (N=16, window=2, 64-bit scalars): the 1-core
-CPU XLA backend takes minutes on full-size crypto graphs.
+Graphs are deliberately tiny (N=16, window=2, 32-bit 2-limb scalars — the
+window count derives from the limb width and every window runs identical
+code, so short scalars exercise the same graphs 8x faster): the 1-core
+CPU XLA backend takes minutes on full-size crypto graphs.  The 8-device
+shapes match __graft_entry__.dryrun_multichip exactly, sharing its
+persistent-cache entries.
 """
 
 import jax
@@ -76,8 +80,8 @@ def test_data_parallel_commit_mesh_invariant(setup):
     fp = fp_spec()
     curve = CurveOps(fp)
     rng = np.random.default_rng(7)
-    poly_ints = rng.integers(1, 2**63, size=(8, N), dtype=np.int64)
-    polys = _to_limbs(poly_ints)
+    poly_ints = rng.integers(1, 2**31, size=(8, N), dtype=np.int64)
+    polys = _to_limbs(poly_ints, n_limbs=2)
 
     results = []
     for mesh in _meshes():
@@ -102,8 +106,8 @@ def test_point_sharded_msm_mesh_invariant(setup):
     fp = fp_spec()
     curve = CurveOps(fp)
     rng = np.random.default_rng(8)
-    scalar_ints = rng.integers(1, 2**63, size=N, dtype=np.int64)
-    scalars = _to_limbs(scalar_ints)
+    scalar_ints = rng.integers(1, 2**31, size=N, dtype=np.int64)
+    scalars = _to_limbs(scalar_ints, n_limbs=2)
 
     affine = []
     for mesh in _meshes():
