@@ -249,8 +249,10 @@ class Context:
         A pair with an infinity member contributes the identity (gnark
         PairingCheck semantics).
 
-        Default is the native host pairing (~20 ms C++ Miller loops +
-        final exp, hostcurve.py; pure-Python golden fallback ~330 ms).
+        Default is the native host pairing (~3 ms in C++: shared-squaring
+        multi-pair Jacobian Miller loop + Granger-Scott cyclotomic
+        squarings in the final exp, hostcurve.py; pure-Python golden
+        fallback ~330 ms).
         The pairing is ONE per batch, so its latency is off the throughput
         path; the device pairing (ops/pairing.py, bit-correct) stays as a
         GOETHKZG_DEVICE_PAIRING=1 opt-in for chips-only deployments.

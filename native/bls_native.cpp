@@ -440,7 +440,62 @@ inline void fp12_mul(Fp12& r, const Fp12& x, const Fp12& y) {
     r.b = t2;
 }
 
-inline void fp12_sqr(Fp12& r, const Fp12& x) { fp12_mul(r, x, x); }
+inline void fp12_sqr(Fp12& r, const Fp12& x) {
+    // (a + bw)^2 = (a^2 + v b^2) + 2ab w, via 2 fp6 muls:
+    //   ab = a*b ; c0 = (a+b)(a+vb) - ab - v*ab ; c1 = 2ab
+    Fp6 ab, vab, s, t, c0;
+    fp6_mul(ab, x.a, x.b);
+    fp6_mul_by_v(vab, ab);
+    fp6_add(s, x.a, x.b);
+    fp6_mul_by_v(t, x.b);
+    fp6_add(t, x.a, t);
+    fp6_mul(c0, s, t);
+    fp6_sub(c0, c0, ab);
+    fp6_sub(c0, c0, vab);
+    r.a = c0;
+    fp6_add(r.b, ab, ab);
+}
+
+// Granger-Scott squaring for elements of the cyclotomic subgroup (valid
+// only after the easy part of the final exponentiation).  With w-degree
+// coords h0=a.c0, h1=b.c0, h2=a.c1, h3=b.c1, h4=a.c2, h5=b.c2 and Fp4
+// pairs (h0,h3), (h1,h4), (h2,h5), s^2 = xi:
+//   fp4_sqr(x0,x1) = (x0^2 + xi x1^2, 2 x0 x1)
+//   a' = (3 t00 - 2 h0, 3 t10 - 2 h2, 3 t20 - 2 h4)
+//   b' = (3 xi t21 + 2 h1, 3 t01 + 2 h3, 3 t11 + 2 h5)
+// (formula validated bit-exactly against the golden model; see
+// goethkzg_tpu/golden/field.py fp12_sqr).
+inline void fp4_sqr(Fp2& r0, Fp2& r1, const Fp2& x0, const Fp2& x1) {
+    Fp2 t0, t1, s, t2;
+    fp2_sqr(t0, x0);
+    fp2_sqr(t1, x1);
+    fp2_add(s, x0, x1);
+    fp2_sqr(t2, s);
+    fp2_sub(t2, t2, t0);
+    fp2_sub(r1, t2, t1);          // 2 x0 x1
+    fp2_mul_by_xi(t1, t1);
+    fp2_add(r0, t0, t1);          // x0^2 + xi x1^2
+}
+
+inline void fp12_cyclo_sqr(Fp12& r, const Fp12& x) {
+    Fp2 t00, t01, t10, t11, t20, t21, u;
+    fp4_sqr(t00, t01, x.a.c0, x.b.c1);
+    fp4_sqr(t10, t11, x.b.c0, x.a.c2);
+    fp4_sqr(t20, t21, x.a.c1, x.b.c2);
+    Fp12 res;
+    // a'_i = 2(t_i0 - h_even_i) + t_i0
+    fp2_sub(u, t00, x.a.c0); fp2_add(u, u, u); fp2_add(res.a.c0, u, t00);
+    fp2_sub(u, t10, x.a.c1); fp2_add(u, u, u); fp2_add(res.a.c1, u, t10);
+    fp2_sub(u, t20, x.a.c2); fp2_add(u, u, u); fp2_add(res.a.c2, u, t20);
+    // b'_i = 2(t' + h_odd_i) + t'
+    Fp2 xt21;
+    fp2_mul_by_xi(xt21, t21);
+    fp2_add(u, xt21, x.b.c0); fp2_add(u, u, u); fp2_add(res.b.c0, u, xt21);
+    fp2_add(u, t01, x.b.c1); fp2_add(u, u, u); fp2_add(res.b.c1, u, t01);
+    fp2_add(u, t11, x.b.c2); fp2_add(u, u, u); fp2_add(res.b.c2, u, t11);
+    r = res;
+}
+
 
 inline void fp12_conj(Fp12& r, const Fp12& x) {
     r.a = x.a;
@@ -474,6 +529,22 @@ inline bool fp12_is_one(const Fp12& x) {
     for (size_t i = 0; i < sizeof(Fp12) / 8; ++i)
         if (p1[i] != p2[i]) return false;
     return true;
+}
+
+// x^e for cyclotomic x, e a positive u64 (square-and-multiply with GS
+// squarings; e is a fixed public exponent so the branch pattern is fine).
+inline void fp12_cyclo_pow_u64(Fp12& r, const Fp12& base, u64 e) {
+    Fp12 acc;
+    bool started = false;
+    for (int b = 63; b >= 0; --b) {
+        if (started) fp12_cyclo_sqr(acc, acc);
+        if ((e >> b) & 1) {
+            if (started) fp12_mul(acc, acc, base);
+            else { acc = base; started = true; }
+        }
+    }
+    if (!started) fp12_one(acc);
+    r = acc;
 }
 
 // Frobenius: x -> x^p, computed generically via coefficient conjugation and
@@ -577,39 +648,6 @@ inline void fp12_frobenius2(Fp12& r, const Fp12& x) {
     for (int i = 0; i < 6; ++i)
         fp2_mul(*out[i], *coeff[i], FROB.g2[i]);
     r = res;
-}
-
-inline void fp12_pow_u64(Fp12& r, const Fp12& base, u64 e) {
-    Fp12 acc;
-    fp12_one(acc);
-    bool started = false;
-    for (int b = 63; b >= 0; --b) {
-        if (started) fp12_sqr(acc, acc);
-        if ((e >> b) & 1) {
-            if (started) fp12_mul(acc, acc, base);
-            else { acc = base; started = true; }
-        }
-    }
-    if (!started) fp12_one(acc);
-    r = acc;
-}
-
-// generic multi-limb pow (LE limbs)
-inline void fp12_pow(Fp12& r, const Fp12& base, const u64* e, int limbs) {
-    Fp12 acc;
-    fp12_one(acc);
-    bool started = false;
-    for (int i = limbs - 1; i >= 0; --i) {
-        for (int b = 63; b >= 0; --b) {
-            if (started) fp12_sqr(acc, acc);
-            if ((e[i] >> b) & 1) {
-                if (started) fp12_mul(acc, acc, base);
-                else { acc = base; started = true; }
-            }
-        }
-    }
-    if (!started) fp12_one(acc);
-    r = acc;
 }
 
 // ----------------------------------------------------------------- G1
@@ -954,87 +992,148 @@ inline bool g1_in_subgroup(const G1Aff& p) {
 }
 
 // ------------------------------------------------ pairing (optimal ate)
-// Affine Miller loop with twist-aware sparse lines.  G2 points live on the
-// M-twist E': y^2 = x^3 + 4(1+u); untwist (x, y) -> (x w^-2, y w^-3).
-// With slope lam (Fp2, on the twist) through T=(ax, ay):
-//     line(P) = yp + [ (lam*ax - ay) * s * v  +  (-lam*xp) * s * v^2 ] w
-// where s = 1/(1+u) — see the derivation in ops/pairing.py (same layout).
+// Inversion-free Jacobian Miller loop with twist-aware sparse lines,
+// mirroring the validated device design (goethkzg_tpu/ops/pairing.py):
+// G2 points live on the M-twist E': y^2 = x^3 + 4(1+u); untwist
+// (x, y) -> (x w^-2, y w^-3).  Every line denominator is an Fp2 scalar,
+// which dies under the final exponentiation ((p^2-1) | (p^12-1)/r), so
+// lines are *scaled* instead of divided.  With T=(X,Y,Z) Jacobian:
+//   doubling: A = 2 Y Z^3 yp xi ; B = 3 X^3 - 2 Y^2 ; C = -3 X^2 Z^2 xp
+//   addition: theta = Y - yq Z^3 ; pi = X - xq Z^2 ;
+//             A = pi Z yp xi ; B = theta xq - pi Z yq ; C = -theta xp
+// placing the line at Fp12 positions l = (A,0,0) + (0,B,C) w.
 
-struct LineCtx { Fp2 inv_xi; bool init = false; };
-static LineCtx LINE;
-
-inline void line_init() {
-    if (LINE.init) return;
-    Fp2 xi;
-    xi.c0 = ONE;
-    xi.c1 = ONE;
-    fp2_inv(LINE.inv_xi, xi);
-    LINE.init = true;
+// f *= (A,0,0) + (0,B,C) w  — sparse 15-fp2-mul product (vs 18 full).
+inline void fp12_mul_line(Fp12& f, const Fp2& A, const Fp2& B, const Fp2& C) {
+    // ta = f.a * (A,0,0)
+    Fp6 ta;
+    fp2_mul(ta.c0, f.a.c0, A);
+    fp2_mul(ta.c1, f.a.c1, A);
+    fp2_mul(ta.c2, f.a.c2, A);
+    // tb = f.b * (0,B,C), v^3 = xi
+    Fp6 tb;
+    Fp2 t1, t2, u;
+    fp2_mul(t1, f.b.c1, C);
+    fp2_mul(t2, f.b.c2, B);
+    fp2_add(u, t1, t2);
+    fp2_mul_by_xi(tb.c0, u);
+    fp2_mul(t1, f.b.c0, B);
+    fp2_mul(t2, f.b.c2, C);
+    fp2_mul_by_xi(t2, t2);
+    fp2_add(tb.c1, t1, t2);
+    fp2_mul(t1, f.b.c0, C);
+    fp2_mul(t2, f.b.c1, B);
+    fp2_add(tb.c2, t1, t2);
+    // cross = (f.a + f.b) * (A,B,C) - ta - tb   (Karatsuba)
+    Fp6 s, labc, cross;
+    fp6_add(s, f.a, f.b);
+    labc.c0 = A; labc.c1 = B; labc.c2 = C;
+    fp6_mul(cross, s, labc);
+    fp6_sub(cross, cross, ta);
+    fp6_sub(cross, cross, tb);
+    // f.a = ta + v*tb ; f.b = cross
+    Fp6 vtb;
+    fp6_mul_by_v(vtb, tb);
+    fp6_add(f.a, ta, vtb);
+    f.b = cross;
 }
 
-// evaluate the line with slope lam through (ax, ay) at P=(xp, yp), as Fp12
-inline void line_eval(Fp12& l, const Fp2& lam, const Fp2& ax, const Fp2& ay,
-                      const Fp& xp, const Fp& yp) {
-    line_init();
-    memset(&l, 0, sizeof(l));
-    l.a.c0.c0 = yp;                    // Fp embedded in Fp2 c0 of Fp6 c0
-    Fp2 t, lx;
-    fp2_mul(t, lam, ax);
-    fp2_sub(t, t, ay);
-    fp2_mul(l.b.c1, t, LINE.inv_xi);   // (lam*ax - ay)/xi  at  v * w
-    fp2_mul_by_fp(lx, lam, xp);
-    fp2_neg(lx, lx);
-    fp2_mul(l.b.c2, lx, LINE.inv_xi);  // (-lam*xp)/xi      at  v^2 * w
+// combined tangent-line + Jacobian doubling step (shares X^2, Y^2, Z^2)
+inline void miller_dbl_step(Fp12& f, G2Jac& T, const Fp& xp, const Fp& yp) {
+    Fp2 XX, YY, YYYY, ZZ, ZZZ, t;
+    fp2_sqr(XX, T.X);
+    fp2_sqr(YY, T.Y);
+    fp2_sqr(YYYY, YY);
+    fp2_sqr(ZZ, T.Z);
+    fp2_mul(ZZZ, ZZ, T.Z);
+    // line: LA = 2 Y Z^3 yp xi ; LB = 3 X^3 - 2 Y^2 ; LC = -3 X^2 Z^2 xp
+    Fp2 LA, LB, LC, X3, X2Z2;
+    fp2_mul(LA, T.Y, ZZZ);
+    fp2_add(LA, LA, LA);
+    fp2_mul_by_fp(LA, LA, yp);
+    fp2_mul_by_xi(LA, LA);
+    fp2_mul(X3, T.X, XX);
+    fp2_add(LB, X3, X3);
+    fp2_add(LB, LB, X3);
+    fp2_add(t, YY, YY);
+    fp2_sub(LB, LB, t);
+    fp2_mul(X2Z2, XX, ZZ);
+    fp2_add(LC, X2Z2, X2Z2);
+    fp2_add(LC, LC, X2Z2);
+    fp2_mul_by_fp(LC, LC, xp);
+    fp2_neg(LC, LC);
+    fp12_mul_line(f, LA, LB, LC);
+    // T = 2T (dbl-2009-l, a=0): D = 2((X+YY)^2 - XX - YYYY), E = 3 XX
+    Fp2 D, E, F;
+    fp2_add(t, T.X, YY);
+    fp2_sqr(t, t);
+    fp2_sub(t, t, XX);
+    fp2_sub(t, t, YYYY);
+    fp2_add(D, t, t);
+    fp2_add(E, XX, XX);
+    fp2_add(E, E, XX);
+    fp2_sqr(F, E);
+    Fp2 nX, nY, nZ, Y8;
+    fp2_sub(nX, F, D);
+    fp2_sub(nX, nX, D);
+    fp2_add(Y8, YYYY, YYYY);
+    fp2_add(Y8, Y8, Y8);
+    fp2_add(Y8, Y8, Y8);
+    fp2_sub(t, D, nX);
+    fp2_mul(nY, E, t);
+    fp2_sub(nY, nY, Y8);
+    fp2_add(t, T.Y, T.Y);
+    fp2_mul(nZ, t, T.Z);
+    T.X = nX; T.Y = nY; T.Z = nZ;
 }
 
-// one Miller loop f_{|z|, Q}(P), conjugated at the end (z < 0)
-inline void miller_loop(Fp12& f, const G1Aff& p, const G2Aff& q) {
-    Fp2 tx = q.x, ty = q.y;
+// chord-line + mixed addition step T = T + Q (Q affine; ate loop
+// guarantees T != ±Q on valid inputs)
+inline void miller_add_step(Fp12& f, G2Jac& T, const G2Aff& q,
+                            const Fp& xp, const Fp& yp) {
+    Fp2 ZZ, ZZZ, theta, pi, piZ, t;
+    fp2_sqr(ZZ, T.Z);
+    fp2_mul(ZZZ, ZZ, T.Z);
+    fp2_mul(t, q.y, ZZZ);
+    fp2_sub(theta, T.Y, t);
+    fp2_mul(t, q.x, ZZ);
+    fp2_sub(pi, T.X, t);
+    fp2_mul(piZ, pi, T.Z);
+    Fp2 LA, LB, LC;
+    fp2_mul_by_fp(LA, piZ, yp);
+    fp2_mul_by_xi(LA, LA);
+    fp2_mul(LB, theta, q.x);
+    fp2_mul(t, piZ, q.y);
+    fp2_sub(LB, LB, t);
+    fp2_mul_by_fp(LC, theta, xp);
+    fp2_neg(LC, LC);
+    fp12_mul_line(f, LA, LB, LC);
+    // T = T + Q via the generic Jacobian add (Q lifted with Z = 1);
+    // addition steps are rare (hamming(|z|) - 1 = 5 per loop).
+    G2Jac qj;
+    qj.X = q.x; qj.Y = q.y;
+    qj.Z.c0 = ONE;
+    memset(&qj.Z.c1, 0, sizeof(Fp));
+    g2_add(T, T, qj);
+}
+
+// shared-squaring multi-pair Miller loop: ONE f^2 per bit serves every
+// pair (the per-pair loops multiply into the same accumulator), matching
+// gnark's MillerLoop([]G1, []G2).  Conjugated once at the end (z < 0).
+struct MillerPair { G1Aff p; G2Aff q; G2Jac T; };
+
+inline void miller_loop_multi(Fp12& f, MillerPair* cs, int n) {
     fp12_one(f);
-    // bits of |z| MSB-first, skipping the leading 1
+    for (int i = 0; i < n; ++i) g2_from_aff(cs[i].T, cs[i].q);
     int top = 63;
     while (!((BLS_Z >> top) & 1)) --top;
     for (int b = top - 1; b >= 0; --b) {
-        // tangent at T
-        Fp2 num, den, lam, t;
-        fp2_sqr(num, tx);
-        Fp2 three_num;
-        fp2_add(three_num, num, num);
-        fp2_add(three_num, three_num, num);
-        fp2_add(den, ty, ty);
-        fp2_inv(t, den);
-        fp2_mul(lam, three_num, t);
-        Fp12 l;
-        line_eval(l, lam, tx, ty, p.x, p.y);
-        Fp12 f2;
-        fp12_sqr(f2, f);
-        fp12_mul(f, f2, l);
-        // T = 2T (affine): x3 = lam^2 - 2x, y3 = lam(x - x3) - y
-        Fp2 lam2, x3, y3;
-        fp2_sqr(lam2, lam);
-        fp2_sub(x3, lam2, tx);
-        fp2_sub(x3, x3, tx);
-        fp2_sub(t, tx, x3);
-        fp2_mul(y3, lam, t);
-        fp2_sub(y3, y3, ty);
-        tx = x3; ty = y3;
-        if ((BLS_Z >> b) & 1) {
-            // chord through T and Q (T != ±Q for the ate loop on valid inputs)
-            Fp2 dy, dx, dxi;
-            fp2_sub(dy, q.y, ty);
-            fp2_sub(dx, q.x, tx);
-            fp2_inv(dxi, dx);
-            fp2_mul(lam, dy, dxi);
-            line_eval(l, lam, tx, ty, p.x, p.y);
-            fp12_mul(f, f, l);
-            Fp2 lam2b;
-            fp2_sqr(lam2b, lam);
-            fp2_sub(x3, lam2b, tx);
-            fp2_sub(x3, x3, q.x);
-            fp2_sub(t, tx, x3);
-            fp2_mul(y3, lam, t);
-            fp2_sub(y3, y3, ty);
-            tx = x3; ty = y3;
+        fp12_sqr(f, f);
+        bool bit = (BLS_Z >> b) & 1;
+        for (int i = 0; i < n; ++i) {
+            miller_dbl_step(f, cs[i].T, cs[i].p.x, cs[i].p.y);
+            if (bit)
+                miller_add_step(f, cs[i].T, cs[i].q, cs[i].p.x, cs[i].p.y);
         }
     }
     Fp12 c;
@@ -1044,7 +1143,8 @@ inline void miller_loop(Fp12& f, const G1Aff& p, const G2Aff& q) {
 
 // final-exponentiation check: f^((p^12-1)/r) == 1, via the identity-tested
 // decomposition 3d = (x+1)^2 (x+p)(x^2+p^2-1) + 3 (mirrors
-// golden/pairing.py final_exp_is_one_fast; x = |z|).
+// golden/pairing.py final_exp_is_one_fast; x = |z|).  All hard-part powers
+// run on Granger-Scott cyclotomic squarings (valid after the easy part).
 inline bool final_exp_is_one(const Fp12& fin) {
     // easy part: f^((p^6-1)(p^2+1)) = frob2(conj(f) * f^-1) * (conj(f) * f^-1)
     Fp12 fi, fc, f, t;
@@ -1053,33 +1153,27 @@ inline bool final_exp_is_one(const Fp12& fin) {
     fp12_mul(f, fc, fi);
     fp12_frobenius2(t, f);
     fp12_mul(f, t, f);
-    // g = f^((x+1)^2): (x+1)^2 fits in 128 bits
-    u128 xp1 = (u128)BLS_Z + 1;
-    // (x+1)^2 = x^2 + 2x + 1 — compute as two u64-limb pow stages:
-    // f^(x+1) then ^(x+1)
+    // g = f^((x+1)^2)  (x+1 fits in a u64)
     Fp12 g;
-    {
-        u64 e[2] = {(u64)xp1, (u64)(xp1 >> 64)};
-        fp12_pow(g, f, e, 2);
-        fp12_pow(g, g, e, 2);
-    }
+    fp12_cyclo_pow_u64(g, f, BLS_Z + 1);
+    fp12_cyclo_pow_u64(g, g, BLS_Z + 1);
     // h = conj(g^x) * frob(g)
     Fp12 gx, gxc, gf, h;
-    fp12_pow_u64(gx, g, BLS_Z);
+    fp12_cyclo_pow_u64(gx, g, BLS_Z);
     fp12_conj(gxc, gx);
     fp12_frobenius(gf, g);
     fp12_mul(h, gxc, gf);
     // k = h^(x^2) * frob2(h) * conj(h)
     Fp12 hx, hxx, hf2, hc, k;
-    fp12_pow_u64(hx, h, BLS_Z);
-    fp12_pow_u64(hxx, hx, BLS_Z);
+    fp12_cyclo_pow_u64(hx, h, BLS_Z);
+    fp12_cyclo_pow_u64(hxx, hx, BLS_Z);
     fp12_frobenius2(hf2, h);
     fp12_conj(hc, h);
     fp12_mul(k, hxx, hf2);
     fp12_mul(k, k, hc);
     // res = k * f^3
     Fp12 f2, f3, res;
-    fp12_sqr(f2, f);
+    fp12_cyclo_sqr(f2, f);
     fp12_mul(f3, f2, f);
     fp12_mul(res, k, f3);
     return fp12_is_one(res);
@@ -1334,22 +1428,28 @@ void kzg_g2_neg(const u64* p_xy, uint8_t p_inf, u64* out_xy,
 int kzg_pairing_check(const u64* g1_xy, const uint8_t* g1_inf,
                       const u64* g2_xy, const uint8_t* g2_inf,
                       int64_t count) {
-    Fp12 f;
-    fp12_one(f);
-    bool any = false;
+    // collect the non-infinity pairs, then run ONE shared-squaring loop
+    MillerPair stack_cs[4];
+    MillerPair* cs = count <= 4 ? stack_cs : new MillerPair[count];
+    int n = 0;
     for (int64_t i = 0; i < count; ++i) {
         G1Aff p;
         G2Aff q;
         load_g1(p, g1_xy + 12 * i, g1_inf[i]);
         load_g2(q, g2_xy + 24 * i, g2_inf[i]);
         if (p.inf || q.inf) continue;
-        Fp12 m;
-        miller_loop(m, p, q);
-        fp12_mul(f, f, m);
-        any = true;
+        cs[n].p = p;
+        cs[n].q = q;
+        ++n;
     }
-    if (!any) return 1;
-    return final_exp_is_one(f) ? 1 : 0;
+    int ok = 1;
+    if (n > 0) {
+        Fp12 f;
+        miller_loop_multi(f, cs, n);
+        ok = final_exp_is_one(f) ? 1 : 0;
+    }
+    if (cs != stack_cs) delete[] cs;
+    return ok;
 }
 
 }  // extern "C"
