@@ -272,14 +272,76 @@ class Context:
         check = self._jit("pairing", self._pairing_fn)
         return bool(check(*args))
 
-    def _fold_msm_fn(self):
-        curve = self.curve
+    def _batch_verify_fn(self):
+        """The WHOLE RLC batch verification as one device graph (reference:
+        internal/kzg/kzg_verify.go:111-202 runs eval + three folds + scalar
+        muls as separate CPU steps; here they fuse into a single dispatch).
 
-        def fold(px, py, pinf, scalars_normal):
-            res = msm_mod.msm(curve, (px, py, pinf), scalars_normal)
-            return self._affine_normal(tuple(c[None] for c in res))
+        Inputs: padded blob polynomials + challenges (for the batched
+        barycentric evals), three MSM instances over wire points
+        ((comms ∪ {G1}, r ‖ fe-slot), (quotients, r·z), (quotients, r)),
+        Montgomery r-powers (zero beyond the live batch), and a mask
+        marking the generator slot of instance 0.  The folded evaluation
+        scalar  -(Σ rᵢ yᵢ)  is computed on device and injected into the
+        generator slot, so no evaluation ever crosses to the host.
+        Returns affine (lhs1, lhs2) for the host pairing check.
+        """
+        fr, curve = self.fr, self.curve
+        roots, roots_inv = self.roots_brp, self.roots_brp_inv
+        n_inv = self.domain.n_inv_mont
 
-        return jax.jit(fold)
+        def run(polys_normal, chal_normal, rp_mont, px, py, pinf, scl,
+                fe_mask):
+            poly = fr.to_mont(polys_normal)
+            z = fr.to_mont(chal_normal)
+            y, _, _, _ = kzg_engine.eval_lagrange(roots, roots_inv, n_inv,
+                                                  poly, z)
+            fe = fr.sum(fr.mul(rp_mont, y), axis=-2)         # Σ rᵢ yᵢ
+            fe_neg = fr.from_mont(fr.neg(fe))                # (R - fe) normal
+            scl = jnp.where(fe_mask[..., None], fe_neg[None, None, :], scl)
+            res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
+                                      shared_points=False)
+
+            def inst(i):
+                return tuple(c[i] for c in res)
+
+            lhs1 = curve.add(inst(0), inst(1))
+            lhs2 = curve.neg(inst(2))
+            both = tuple(jnp.stack([a, b]) for a, b in zip(lhs1, lhs2))
+            return self._affine_normal(both)
+
+        return jax.jit(run)
+
+    def _cell_verify_fn(self):
+        """Device graph for verify_cell_kzg_proof_batch (reference:
+        internal/kzg_multi/kzg_verify.go:16-105): three folding MSMs over
+        the wire points, the batched coset-IFFT interpolation fold, its
+        64-point commitment, and the RL combine — one dispatch; only the
+        2-pairing check stays on host."""
+        fr, curve = self.fr, self.curve
+        mp = self.mp_key
+
+        def run(px, py, pinf, scl, evals_normal, idx, rp_mont):
+            res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
+                                      shared_points=False)
+
+            def inst(i):
+                return tuple(c[i] for c in res)
+
+            interp = mp.fold_interpolation_poly(fr.to_mont(evals_normal),
+                                                idx, rp_mont)
+            ic = msm_mod.msm(curve, mp.g1_points, fr.from_mont(interp),
+                             window=4)
+            rl = curve.add(curve.add(inst(1), curve.neg(ic)), inst(2))
+            both = tuple(jnp.stack([a, b]) for a, b in zip(inst(0), rl))
+            return self._affine_normal(both)
+
+        return jax.jit(run)
+
+    @staticmethod
+    def _scalar_rows(scalars, pad):
+        return np.stack([int_to_limbs(s, 16)
+                         for s in scalars + [0] * (pad - len(scalars))])
 
     def _affine_to_golden(self, ax, ay, ainf, i=0):
         """Normal-form affine device arrays -> golden tuple (row i)."""
@@ -368,62 +430,59 @@ class Context:
         comms = serialization.deserialize_g1_batch(commitments)
         quotients = serialization.deserialize_g1_batch(proofs)
         challenges = fiatshamir.compute_challenges_batch(blobs, commitments)
+        z_ints = [self.fr.to_int(challenges[i], mont=False)
+                  for i in range(batch)]
 
-        # evaluate every blob at its challenge (data-parallel device kernel)
-        eval_ = self._jit("eval", self._eval_fn)
         pad = _pad_bucket(batch)
         polys_p = np.concatenate([polys] + [polys[:1]] * (pad - batch))
         chal_p = np.concatenate([challenges] + [challenges[:1]] * (pad - batch))
-        ys = np.asarray(eval_(jnp.asarray(polys_p), jnp.asarray(chal_p)))[:batch]
-        y_ints = [self.fr.to_int(ys[i], mont=False) for i in range(batch)]
-        z_ints = [self.fr.to_int(challenges[i], mont=False) for i in range(batch)]
 
         if batch == 1:
-            self._verify_opening(comms[0], z_ints[0], y_ints[0], quotients[0])
+            eval_ = self._jit("eval", self._eval_fn)
+            ys = np.asarray(eval_(jnp.asarray(polys_p), jnp.asarray(chal_p)))
+            y_int = self.fr.to_int(ys[0], mont=False)
+            self._verify_opening(comms[0], z_ints[0], y_int, quotients[0])
             return
-        self._batch_verify_multipoints(comms, quotients, z_ints, y_ints)
 
-    # Alias for the reference's goroutine-parallel variant (verify.go:152) —
-    # here the batch path is already data-parallel on device.
-    verify_blob_kzg_proof_batch_par = verify_blob_kzg_proof_batch
-
-    def _fold_msm_host(self, points, scalar_ints):
-        """Device MSM over wire points with host scalars; returns golden affine."""
-        pad = _pad_bucket(len(points))
-        pts = points + [None] * (pad - len(points))
-        sc = scalar_ints + [0] * (pad - len(scalar_ints))
-        px, py, pinf = serialization.g1_points_to_device_arrays(pts)
-        slimbs = np.stack([int_to_limbs(s, 16) for s in sc])
-        fold = self._jit("fold_msm", self._fold_msm_fn)
-        ax, ay, ainf = fold(jnp.asarray(px), jnp.asarray(py),
-                            jnp.asarray(pinf), jnp.asarray(slimbs))
-        return self._affine_to_golden(ax, ay, ainf)
-
-    def _batch_verify_multipoints(self, comms, quotients, z_ints, y_ints):
-        """reference: internal/kzg/kzg_verify.go:111-202."""
-        batch = len(comms)
+        # reference: internal/kzg/kzg_verify.go:111-202 — one device call
         r = secrets.randbelow(R_MOD - 1) + 1
         r_powers = [1]
         for _ in range(batch - 1):
             r_powers.append(r_powers[-1] * r % R_MOD)
-
-        folded_quotients = self._fold_msm_host(quotients, r_powers)
-        folded_comms = self._fold_msm_host(comms, r_powers)
-        folded_evals = 0
-        for ri, yi in zip(r_powers, y_ints):
-            folded_evals = (folded_evals + ri * yi) % R_MOD
-        folded_evals_commit = hc.g1_scalar_mul(self.gen_g1, folded_evals)
-        f = hc.g1_add(folded_comms, hc.g1_neg(folded_evals_commit))
         rz = [ri * zi % R_MOD for ri, zi in zip(r_powers, z_ints)]
-        folded_points_quotients = self._fold_msm_host(quotients, rz)
-        lhs1 = hc.g1_add(f, folded_points_quotients)
-        lhs2 = hc.g1_neg(folded_quotients)
+
+        M = _pad_bucket(batch + 1)          # +1: generator slot in inst 0
+        cpts = comms + [self.gen_g1] + [None] * (M - batch - 1)
+        qpts = quotients + [None] * (M - batch)
+        cx, cy, cinf = serialization.g1_points_to_device_arrays(cpts)
+        qx, qy, qinf = serialization.g1_points_to_device_arrays(qpts)
+        px, py = np.stack([cx, qx, qx]), np.stack([cy, qy, qy])
+        pinf = np.stack([cinf, qinf, qinf])
+        scl = np.stack([self._scalar_rows(r_powers, M),
+                        self._scalar_rows(rz, M),
+                        self._scalar_rows(r_powers, M)])
+        fe_mask = np.zeros((3, M), dtype=bool)
+        fe_mask[0, batch] = True
+        rp_mont = np.stack([self.fr.from_int(x) for x in r_powers]
+                           + [np.zeros(16, np.uint32)] * (pad - batch))
+
+        run = self._jit("batch_verify", self._batch_verify_fn)
+        ax, ay, ainf = run(jnp.asarray(polys_p), jnp.asarray(chal_p),
+                           jnp.asarray(rp_mont), jnp.asarray(px),
+                           jnp.asarray(py), jnp.asarray(pinf),
+                           jnp.asarray(scl), jnp.asarray(fe_mask))
+        lhs1 = self._affine_to_golden(ax, ay, ainf, 0)
+        lhs2 = self._affine_to_golden(ax, ay, ainf, 1)
         ok = self._pairing_check([
             (lhs1, self.gen_g2),
             (lhs2, self.alpha_g2),
         ])
         if not ok:
             raise ErrVerifyOpeningProof()
+
+    # Alias for the reference's goroutine-parallel variant (verify.go:152) —
+    # here the batch path is already data-parallel on device.
+    verify_blob_kzg_proof_batch_par = verify_blob_kzg_proof_batch
 
 
     # ------------------------------------------------------- EIP-7594 (cells)
@@ -578,37 +637,39 @@ class Context:
         for _ in range(batch - 1):
             r_powers.append(r_powers[-1] * r % R_MOD)
 
-        # fold proofs and commitments (device MSMs)
-        folded_proofs = self._fold_msm_host(proofs_g, r_powers)
+        # one device dispatch: three folds + interpolation fold + its
+        # commitment + the RL combine (reference kzg_verify.go:16-105 runs
+        # these as separate sequential steps)
         weights = [0] * len(unique)
         for k, ridx in enumerate(row_indices):
             weights[ridx] = (weights[ridx] + r_powers[k]) % R_MOD
-        folded_comms = self._fold_msm_host(comms_g, weights)
         weighted = [self.mp_key.coset_shifts_pow_cs[ci] * rp % R_MOD
                     for ci, rp in zip(cell_indices, r_powers)]
-        folded_weighted_proofs = self._fold_msm_host(proofs_g, weighted)
 
-        # folded interpolation polynomial (device, padded batch)
         pad = _pad_bucket(batch)
+        ppts = proofs_g + [None] * (pad - batch)
+        cpts = comms_g + [None] * (pad - len(comms_g))
+        qx, qy, qinf = serialization.g1_points_to_device_arrays(ppts)
+        cx, cy, cinf = serialization.g1_points_to_device_arrays(cpts)
+        px, py = np.stack([qx, cx, qx]), np.stack([qy, cy, qy])
+        pinf = np.stack([qinf, cinf, qinf])
+        scl = np.stack([self._scalar_rows(r_powers, pad),
+                        self._scalar_rows(weights, pad),
+                        self._scalar_rows(weighted, pad)])
+
         evals_p = np.concatenate([evals] + [evals[:1]] * (pad - batch))
         idx_p = np.asarray(list(cell_indices) + [0] * (pad - batch),
                            dtype=np.int32)
         rp_mont = np.stack([self.fr.from_int(x) for x in
                             r_powers + [0] * (pad - batch)])
-        interp = self.mp_key.fold_interpolation_poly(
-            self.fr.to_mont(jnp.asarray(evals_p)), jnp.asarray(idx_p),
-            jnp.asarray(rp_mont))
-        interp_host = np.asarray(interp)     # single device->host transfer
-        interp_normal = np.stack(
-            [int_to_limbs(self.fr.to_int(interp_host[i]), 16)
-             for i in range(SCALARS_PER_CELL)])
-        # commit to it with the first 64 monomial points (device MSM)
-        fold = self._jit("interp_commit", self._interp_commit_fn)
-        ax, ay, ainf = fold(self.mp_key.g1_points, jnp.asarray(interp_normal))
-        interp_commit = self._affine_to_golden(ax, ay, ainf)
 
-        rl = hc.g1_add(folded_comms, hc.g1_neg(interp_commit))
-        rl = hc.g1_add(rl, folded_weighted_proofs)
+        run = self._jit("cell_verify", self._cell_verify_fn)
+        ax, ay, ainf = run(jnp.asarray(px), jnp.asarray(py),
+                           jnp.asarray(pinf), jnp.asarray(scl),
+                           jnp.asarray(evals_p), jnp.asarray(idx_p),
+                           jnp.asarray(rp_mont))
+        folded_proofs = self._affine_to_golden(ax, ay, ainf, 0)
+        rl = self._affine_to_golden(ax, ay, ainf, 1)
         s_pow_cs_g2 = self.g2_points[SCALARS_PER_CELL]
         ok = self._pairing_check([
             (folded_proofs, s_pow_cs_g2),
@@ -616,15 +677,6 @@ class Context:
         ])
         if not ok:
             raise ErrVerifyOpeningProof()
-
-    def _interp_commit_fn(self):
-        curve = self.curve
-
-        def fn(points, scalars_normal):
-            res = msm_mod.msm(curve, points, scalars_normal, window=4)
-            return self._affine_normal(tuple(c[None] for c in res))
-
-        return jax.jit(fn)
 
 
 def new_context_4096_secure(use_cache: bool = True) -> Context:
