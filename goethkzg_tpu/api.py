@@ -101,6 +101,8 @@ class Context:
         self._recovery = None
         self._mp_key = None
         self._commit_table = None
+        self._g1_decoder = None
+        self._gen_arrays = None
         self._jits = {}
 
     # -------------------------------------------------- lazy EIP-7594 engines
@@ -343,6 +345,50 @@ class Context:
         return np.stack([int_to_limbs(s, 16)
                          for s in scalars + [0] * (pad - len(scalars))])
 
+    # --------------------------------------------------- device wire decode
+    def _device_decode_enabled(self) -> bool:
+        """Batched G1 decompression on device (ops/decompress.py) instead of
+        the native C++ codec: ~230 us/point on this host's single core vs
+        one batched dispatch.  GOETHKZG_DEVICE_DECODE=0/1 overrides the
+        TPU-only default (CPU XLA compiles of the decode graph are
+        minutes-slow, so tests opt in explicitly)."""
+        flag = os.environ.get("GOETHKZG_DEVICE_DECODE")
+        if flag is not None:
+            return flag == "1"
+        return jax.default_backend() == "tpu"
+
+    def _decode_g1_device(self, datas, subgroup_check: bool = True):
+        """Wire points -> (x, y, inf) Montgomery device arrays [B, ...].
+        Error taxonomy matches serialization.deserialize_g1 exactly
+        (reference: serialization.go:102-115)."""
+        from .ops import decompress as dec_mod
+        from .ops.field import _pallas_enabled
+        if self._g1_decoder is None:
+            self._g1_decoder = dec_mod.DeviceG1Decoder(self.curve)
+        B = len(datas)
+        P = _pad_bucket(B)
+        if _pallas_enabled():
+            P = max(P, 256)     # below 256 lanes the field muls fall back
+                                # to the HBM-bound jnp path (field.py:218)
+        padded = list(datas) + [datas[0]] * (P - B)
+        try:
+            x, y, inf, ok = self._g1_decoder.decode(padded, subgroup_check)
+        except dec_mod.G1DecompressError as e:
+            raise gcurve.DeserializationError(str(e)) from None
+        if not ok[:B].all():
+            i = int(np.argmin(ok[:B]))
+            raise gcurve.DeserializationError(
+                f"point {i}: not on curve or not in correct subgroup")
+        return x[:B], y[:B], inf[:B]
+
+    @property
+    def _gen_g1_arrays(self):
+        """Generator as Montgomery limb rows (for device-side assembly)."""
+        if self._gen_arrays is None:
+            gx, gy, _ = serialization.g1_points_to_device_arrays([self.gen_g1])
+            self._gen_arrays = (jnp.asarray(gx[0]), jnp.asarray(gy[0]))
+        return self._gen_arrays
+
     def _affine_to_golden(self, ax, ay, ainf, i=0):
         """Normal-form affine device arrays -> golden tuple (row i)."""
         if bool(ainf[i]):
@@ -427,8 +473,13 @@ class Context:
             return
 
         polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
-        comms = serialization.deserialize_g1_batch(commitments)
-        quotients = serialization.deserialize_g1_batch(proofs)
+        use_dev = batch > 1 and self._device_decode_enabled()
+        if use_dev:
+            wx, wy, winf = self._decode_g1_device(
+                list(commitments) + list(proofs))
+        else:
+            comms = serialization.deserialize_g1_batch(commitments)
+            quotients = serialization.deserialize_g1_batch(proofs)
         challenges = fiatshamir.compute_challenges_batch(blobs, commitments)
         z_ints = [self.fr.to_int(challenges[i], mont=False)
                   for i in range(batch)]
@@ -452,12 +503,30 @@ class Context:
         rz = [ri * zi % R_MOD for ri, zi in zip(r_powers, z_ints)]
 
         M = _pad_bucket(batch + 1)          # +1: generator slot in inst 0
-        cpts = comms + [self.gen_g1] + [None] * (M - batch - 1)
-        qpts = quotients + [None] * (M - batch)
-        cx, cy, cinf = serialization.g1_points_to_device_arrays(cpts)
-        qx, qy, qinf = serialization.g1_points_to_device_arrays(qpts)
-        px, py = np.stack([cx, qx, qx]), np.stack([cy, qy, qy])
-        pinf = np.stack([cinf, qinf, qinf])
+        if use_dev:
+            # decoded rows never leave the device: comms ++ gen ++ inf-pad,
+            # proofs ++ inf-pad (padding rows have zero scalars)
+            gen_x, gen_y = self._gen_g1_arrays
+            n = wx.shape[-1]
+            zc = jnp.zeros((M - batch - 1, n), jnp.uint32)
+            zq = jnp.zeros((M - batch, n), jnp.uint32)
+            cx = jnp.concatenate([wx[:batch], gen_x[None], zc])
+            cy = jnp.concatenate([wy[:batch], gen_y[None], zc])
+            cinf = jnp.concatenate([winf[:batch], jnp.zeros((1,), bool),
+                                    jnp.ones((M - batch - 1,), bool)])
+            qx = jnp.concatenate([wx[batch:], zq])
+            qy = jnp.concatenate([wy[batch:], zq])
+            qinf = jnp.concatenate([winf[batch:],
+                                    jnp.ones((M - batch,), bool)])
+            px, py = jnp.stack([cx, qx, qx]), jnp.stack([cy, qy, qy])
+            pinf = jnp.stack([cinf, qinf, qinf])
+        else:
+            cpts = comms + [self.gen_g1] + [None] * (M - batch - 1)
+            qpts = quotients + [None] * (M - batch)
+            cx, cy, cinf = serialization.g1_points_to_device_arrays(cpts)
+            qx, qy, qinf = serialization.g1_points_to_device_arrays(qpts)
+            px, py = np.stack([cx, qx, qx]), np.stack([cy, qy, qy])
+            pinf = np.stack([cinf, qinf, qinf])
         scl = np.stack([self._scalar_rows(r_powers, M),
                         self._scalar_rows(rz, M),
                         self._scalar_rows(r_powers, M)])
@@ -628,8 +697,12 @@ class Context:
         if any(ci >= CELLS_PER_EXT_BLOB for ci in cell_indices):
             raise ErrInvalidCellID()
 
-        comms_g = serialization.deserialize_g1_batch(unique)
-        proofs_g = serialization.deserialize_g1_batch(proofs)
+        use_dev = self._device_decode_enabled()
+        if use_dev:
+            wx, wy, winf = self._decode_g1_device(list(proofs) + unique)
+        else:
+            comms_g = serialization.deserialize_g1_batch(unique)
+            proofs_g = serialization.deserialize_g1_batch(proofs)
         evals = np.stack([serialization.deserialize_cell(c) for c in cells])
 
         r = secrets.randbelow(R_MOD - 1) + 1
@@ -647,12 +720,28 @@ class Context:
                     for ci, rp in zip(cell_indices, r_powers)]
 
         pad = _pad_bucket(batch)
-        ppts = proofs_g + [None] * (pad - batch)
-        cpts = comms_g + [None] * (pad - len(comms_g))
-        qx, qy, qinf = serialization.g1_points_to_device_arrays(ppts)
-        cx, cy, cinf = serialization.g1_points_to_device_arrays(cpts)
-        px, py = np.stack([qx, cx, qx]), np.stack([qy, cy, qy])
-        pinf = np.stack([qinf, cinf, qinf])
+        if use_dev:
+            n = wx.shape[-1]
+            U = len(unique)
+            zq = jnp.zeros((pad - batch, n), jnp.uint32)
+            zc = jnp.zeros((pad - U, n), jnp.uint32)
+            qx = jnp.concatenate([wx[:batch], zq])
+            qy = jnp.concatenate([wy[:batch], zq])
+            qinf = jnp.concatenate([winf[:batch],
+                                    jnp.ones((pad - batch,), bool)])
+            cx = jnp.concatenate([wx[batch:], zc])
+            cy = jnp.concatenate([wy[batch:], zc])
+            cinf = jnp.concatenate([winf[batch:],
+                                    jnp.ones((pad - U,), bool)])
+            px, py = jnp.stack([qx, cx, qx]), jnp.stack([qy, cy, qy])
+            pinf = jnp.stack([qinf, cinf, qinf])
+        else:
+            ppts = proofs_g + [None] * (pad - batch)
+            cpts = comms_g + [None] * (pad - len(comms_g))
+            qx, qy, qinf = serialization.g1_points_to_device_arrays(ppts)
+            cx, cy, cinf = serialization.g1_points_to_device_arrays(cpts)
+            px, py = np.stack([qx, cx, qx]), np.stack([qy, cy, qy])
+            pinf = np.stack([qinf, cinf, qinf])
         scl = np.stack([self._scalar_rows(r_powers, pad),
                         self._scalar_rows(weights, pad),
                         self._scalar_rows(weighted, pad)])

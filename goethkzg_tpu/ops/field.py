@@ -288,6 +288,35 @@ class FieldSpec:
         out, _ = jax.lax.scan(body, init, bits)
         return out
 
+    def pow_const_windowed(self, a, exponent: int, wbits: int = 4):
+        """a^exponent via fixed 4-bit windows: ~35% fewer muls than
+        pow_const (wbits squarings + one table mul per window) and a 4x
+        shorter scan (faster compiles for the long Fp exponents used by
+        sqrt/inversion on the wire-decode path)."""
+        nbits = max(exponent.bit_length(), 1)
+        nw = -(-nbits // wbits)
+        digits = jnp.asarray(
+            [(exponent >> (wbits * (nw - 1 - i))) & ((1 << wbits) - 1)
+             for i in range(nw)], dtype=jnp.int32)
+
+        # table of a^0 .. a^(2^wbits - 1); entry 0 built from `a` so every
+        # row inherits a's varying-axes type (shard_map scan requirement)
+        one = (a ^ a) + self.one_mont
+        tab = [one, a]
+        for _ in range(2, 1 << wbits):
+            tab.append(self.mul(tab[-1], a))
+        tab = jnp.stack(tab)
+
+        def body(acc, d):
+            for _ in range(wbits):
+                acc = self.sqr(acc)
+            acc = self.mul(acc, jax.lax.dynamic_index_in_dim(
+                tab, d, 0, keepdims=False))
+            return acc, None
+
+        out, _ = jax.lax.scan(body, one, digits)
+        return out
+
     def inv(self, a):
         """Batched inversion via Fermat (fully parallel; 0 -> 0)."""
         return self.pow_const(a, self.modulus - 2)
