@@ -58,7 +58,9 @@ def _table_msm_kernel(txr, tyr, digr, modr, npr, oner, ox, oy, oz,
     (bt, pt) and reused for the TB rows.  VMEM budget = 3 * TB * n * L
     words of accumulator + the double-buffered 2 * D * n * L tile.
 
-    digr: [1, 1, L] packed digits for (row, tile): idx | sign<<8 | zero<<9.
+    digr: [1, 1, 1, L] packed digits for (row, tile): idx|sign<<8|zero<<9
+    (the singleton 3rd axis keeps the block's trailing dims (1, L) legal
+    for Mosaic: each must divide (8, 128) or equal the array dim).
     """
     pt = pl.program_id(1)
     b = pl.program_id(2)
@@ -70,7 +72,7 @@ def _table_msm_kernel(txr, tyr, digr, modr, npr, oner, ox, oy, oz,
         oz[...] = jnp.zeros_like(oz)
 
     modc, npc = modr[:], npr[:]
-    packed = digr[0, 0]                       # [L] u32
+    packed = digr[0, 0, 0]                    # [L] u32
     idx = (packed & 0xFF).astype(jnp.int32)
     sign = (packed >> 8) & 1
     zero = (packed >> 9) & 1
@@ -119,7 +121,8 @@ def _build(n: int, modulus: int, n_prime: int, one_mont: int,
     kern = functools.partial(_table_msm_kernel, n=n, D=D)
     tspec = pl.BlockSpec((1, D, n, L), lambda bt, pt, b: (pt, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((1, 1, L), lambda bt, pt, b: (bt * TB + b, pt, 0),
+    dspec = pl.BlockSpec((1, 1, 1, L),
+                         lambda bt, pt, b: (bt * TB + b, pt, 0, 0),
                          memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((n, 1), lambda bt, pt, b: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -190,7 +193,7 @@ def table_msm(spec, table, packed_digits, interpret: bool = False,
     modc, npc, onec = _consts(n, spec.modulus, spec.n_prime, spec.R_mod)
     call = _build(n, spec.modulus, spec.n_prime, spec.R_mod, PT, B, TB, D,
                   interpret)
-    ox, oy, oz = call(tx, ty, packed_digits, modc, npc, onec)
+    ox, oy, oz = call(tx, ty, packed_digits[:, :, None, :], modc, npc, onec)
     return (jnp.swapaxes(ox, 1, 2), jnp.swapaxes(oy, 1, 2),
             jnp.swapaxes(oz, 1, 2))
 
