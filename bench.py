@@ -1,8 +1,12 @@
 """Headline benchmarks on one chip, end-to-end at the bytes API.
 
-Prints ONE JSON line.  The primary metric stays blob commit throughput
-(comparable across rounds); the BASELINE.md north-star verify metrics and
-the cells prover ride along in "extra".
+Prints ONE JSON line, ALWAYS — even if the harness times the process out.
+The measurement loop runs in a daemon thread; the main thread waits with a
+deadline (GOETHKZG_BENCH_BUDGET_S, default 420 s) and also catches SIGTERM
+(what `timeout` sends), so whatever has been measured by then is emitted
+rather than lost.  Ops are measured in priority order: the primary metric
+(batched commit throughput, comparable across rounds) first, then the
+BASELINE.md north-star verify metrics and the cells prover.
 
 vs_baseline compares against gnark-crypto single-core estimates (the
 reference publishes no absolute numbers — BASELINE.md):
@@ -13,16 +17,21 @@ reference publishes no absolute numbers — BASELINE.md):
   * compute_cells_and_kzg_proofs: ~200 ms / blob  -> ~5 blobs/s
 
 Each op is timed as min over REPS of full wall time (bytes in, bytes out),
-after one untimed warmup that triggers compilation.
+after one untimed warmup that triggers compilation (fast when the
+persistent compilation cache under data/cache/jax is warm).
 """
 
 import json
-import secrets
+import os
+import signal
+import sys
+import threading
 import time
 
 BATCH = 64
 CELL_BATCH = 128       # one extended blob's worth of cells
 REPS = 3
+BUDGET_S = float(os.environ.get("GOETHKZG_BENCH_BUDGET_S", "420"))
 
 BASE = {
     "commit": 400.0,            # blobs/s, single gnark core
@@ -31,9 +40,39 @@ BASE = {
     "cells_proofs": 5.0,        # blobs/s
 }
 
+_T0 = time.time()
+_RESULTS = {}          # op -> (value, unit, vs_baseline)
+_LOCK = threading.Lock()
+_EMITTED = threading.Event()
+
+
+def _emit_and_exit(code=0):
+    if _EMITTED.is_set():
+        os._exit(code)
+    _EMITTED.set()
+    with _LOCK:
+        res = dict(_RESULTS)
+    commit = res.pop("commit", None)
+    if commit is None:
+        line = {"metric": "blob_to_kzg_commitment_throughput", "value": 0.0,
+                "unit": f"blobs/s (batch={BATCH}, 1 chip)", "vs_baseline": 0.0,
+                "error": "primary metric not measured within budget"}
+    else:
+        line = {"metric": "blob_to_kzg_commitment_throughput",
+                "value": commit[0], "unit": commit[1],
+                "vs_baseline": commit[2]}
+    if res:
+        line["extra"] = {op: {"value": v, "unit": u, "vs_baseline": vs}
+                         for op, (v, u, vs) in res.items()}
+    print(json.dumps(line), flush=True)
+    os._exit(code)
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - _T0)
+
 
 def _rand_blob(rng):
-    import numpy as np
     from goethkzg_tpu.constants import R_MOD
     out = bytearray()
     for _ in range(4096):
@@ -51,64 +90,68 @@ def _time(fn):
     return best
 
 
-def main():
+def _record(op, value, unit, base):
+    with _LOCK:
+        _RESULTS[op] = (round(value, 2), unit, round(value / base, 3))
+    print(f"# [{time.time() - _T0:6.1f}s] {op}: {value:.2f} {unit}",
+          file=sys.stderr, flush=True)
+
+
+def _measure():
     import numpy as np
     from goethkzg_tpu.api import Context
 
     ctx = Context()
-
-    class _Rng:
-        def __init__(self, seed):
-            self._r = np.random.default_rng(seed)
-
-        def bytes(self, k):
-            return self._r.bytes(k)
-
-    rng = _Rng(0)
+    rng = np.random.default_rng(0)
     blobs = [_rand_blob(rng) for _ in range(BATCH)]
 
-    # ---- commit throughput -------------------------------------------------
-    t_commit = _time(lambda: ctx.blob_to_kzg_commitment_batch(blobs))
+    # ---- commit throughput (PRIMARY — always first) ------------------------
+    t = _time(lambda: ctx.blob_to_kzg_commitment_batch(blobs))
+    _record("commit", BATCH / t, f"blobs/s (batch={BATCH}, 1 chip)",
+            BASE["commit"])
     commits = ctx.blob_to_kzg_commitment_batch(blobs)
 
-    # ---- verify_blob_kzg_proof_batch --------------------------------------
-    proofs = [ctx.compute_blob_kzg_proof(b, c) for b, c in zip(blobs, commits)]
-    t_vblob = _time(
-        lambda: ctx.verify_blob_kzg_proof_batch(blobs, commits, proofs))
+    # ---- verify_blob_kzg_proof_batch (north star #1) -----------------------
+    if _remaining() > 60:
+        proofs = [ctx.compute_blob_kzg_proof(b, c)
+                  for b, c in zip(blobs, commits)]
+        t = _time(lambda: ctx.verify_blob_kzg_proof_batch(
+            blobs, commits, proofs))
+        _record("verify_blob_kzg_proof_batch", BATCH / t,
+                f"blobs/s (batch={BATCH})", BASE["verify_blob"])
 
-    # ---- compute_cells_and_kzg_proofs + verify_cell_kzg_proof_batch -------
-    t_cells = _time(lambda: ctx.compute_cells_and_kzg_proofs(blobs[0]))
-    cells, cell_proofs = ctx.compute_cells_and_kzg_proofs(blobs[0])
-    idxs = list(range(CELL_BATCH))
-    comms = [commits[0]] * CELL_BATCH
-    t_vcell = _time(lambda: ctx.verify_cell_kzg_proof_batch(
-        comms, idxs, cells, cell_proofs))
+    # ---- compute_cells_and_kzg_proofs --------------------------------------
+    if _remaining() > 60:
+        t = _time(lambda: ctx.compute_cells_and_kzg_proofs(blobs[0]))
+        _record("compute_cells_and_kzg_proofs", 1.0 / t, "blobs/s (batch=1)",
+                BASE["cells_proofs"])
 
-    commit_tp = BATCH / t_commit
-    vblob_tp = BATCH / t_vblob
-    vcell_tp = CELL_BATCH / t_vcell
-    cells_tp = 1.0 / t_cells
+    # ---- verify_cell_kzg_proof_batch (north star #2) -----------------------
+    if _remaining() > 60:
+        cells, cell_proofs = ctx.compute_cells_and_kzg_proofs(blobs[0])
+        idxs = list(range(CELL_BATCH))
+        comms = [commits[0]] * CELL_BATCH
+        t = _time(lambda: ctx.verify_cell_kzg_proof_batch(
+            comms, idxs, cells, cell_proofs))
+        _record("verify_cell_kzg_proof_batch", CELL_BATCH / t,
+                f"cells/s (batch={CELL_BATCH})", BASE["verify_cell"])
 
-    print(json.dumps({
-        "metric": "blob_to_kzg_commitment_throughput",
-        "value": round(commit_tp, 2),
-        "unit": f"blobs/s (batch={BATCH}, 1 chip)",
-        "vs_baseline": round(commit_tp / BASE["commit"], 3),
-        "extra": {
-            "verify_blob_kzg_proof_batch": {
-                "value": round(vblob_tp, 2),
-                "unit": f"blobs/s (batch={BATCH})",
-                "vs_baseline": round(vblob_tp / BASE["verify_blob"], 3)},
-            "verify_cell_kzg_proof_batch": {
-                "value": round(vcell_tp, 2),
-                "unit": f"cells/s (batch={CELL_BATCH})",
-                "vs_baseline": round(vcell_tp / BASE["verify_cell"], 3)},
-            "compute_cells_and_kzg_proofs": {
-                "value": round(cells_tp, 2),
-                "unit": "blobs/s (batch=1)",
-                "vs_baseline": round(cells_tp / BASE["cells_proofs"], 3)},
-        },
-    }))
+
+def main():
+    signal.signal(signal.SIGTERM, lambda *a: _emit_and_exit(0))
+    signal.signal(signal.SIGINT, lambda *a: _emit_and_exit(0))
+
+    def run():
+        try:
+            _measure()
+        except Exception as e:  # partial results still get emitted
+            print(f"# bench error: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    worker = threading.Thread(target=run, daemon=True)
+    worker.start()
+    worker.join(timeout=max(_remaining(), 1.0))
+    _emit_and_exit(0)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,10 @@ from .golden.curve import DeserializationError
 
 
 def g1_decompress(data: bytes, subgroup_check: bool = True):
+    if len(data) != 48:
+        # strict wire length (reference: serialization.go:102-115 — the
+        # 48-byte array type makes this structural in Go; here it's a check)
+        raise DeserializationError("G1 point must be 48 bytes")
     try:
         pts = native.g1_decompress_batch_golden(bytes(data), 1, subgroup_check)
     except ValueError as e:

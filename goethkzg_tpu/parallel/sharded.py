@@ -45,6 +45,23 @@ def _pallas_ctx(mesh: Mesh):
     return contextlib.nullcontext()
 
 
+def _scan_fold(curve, gathered):
+    """Sequential fold of an all-gathered point tuple along its leading
+    (device) axis via lax.scan — ONE group-add body in the compiled module
+    instead of ndev-1 unrolled copies.  The single-core CPU XLA compiles of
+    the virtual test meshes are dominated by module size, and the fold
+    order (device 0..D-1) matches the unrolled loop bit-for-bit."""
+    init = jax.tree.map(lambda c: jnp.zeros_like(c[0]), gathered)
+    # point at infinity: Z = 0 (Jacobian) / inf flag in slot 2 — the curve
+    # tuples here are Jacobian (X, Y, Z), so all-zeros is the identity.
+
+    def body(acc, dev_slice):
+        return curve.add(acc, dev_slice), None
+
+    total, _ = jax.lax.scan(body, init, gathered)
+    return total
+
+
 def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.array(devices), (axis_name,))
@@ -87,16 +104,12 @@ def point_sharded_msm(mesh: Mesh, curve, points_affine, scalars_normal,
     then the Horner chain runs replicated.  Returns a replicated Jacobian
     point.
     """
-    ndev = mesh.devices.size
-
     def local(pts, scalars):
         partial_sums = msm_mod.msm_window_sums(curve, pts, scalars, window,
                                                vary_axes=(axis_name,))
         gathered = jax.tree.map(
             lambda c: jax.lax.all_gather(c, axis_name), partial_sums)
-        total = jax.tree.map(lambda c: c[0], gathered)
-        for d in range(1, ndev):
-            total = curve.add(total, jax.tree.map(lambda c: c[d], gathered))
+        total = _scan_fold(curve, gathered)
         return msm_mod.combine_window_sums(curve, total, window,
                                            vary_axes=(axis_name,))
 
@@ -144,10 +157,7 @@ def point_sharded_msm_2d(mesh: Mesh, curve, points_affine, scalars_normal,
     def _gather_fold(tree, axis_name, count):
         gathered = jax.tree.map(
             lambda c: jax.lax.all_gather(c, axis_name), tree)
-        total = jax.tree.map(lambda c: c[0], gathered)
-        for d in range(1, count):
-            total = curve.add(total, jax.tree.map(lambda c: c[d], gathered))
-        return total
+        return _scan_fold(curve, gathered)
 
     def local(pts, scalars):
         partial_sums = msm_mod.msm_window_sums(curve, pts, scalars, window,

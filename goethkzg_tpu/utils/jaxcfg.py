@@ -15,9 +15,15 @@ def configure():
     global _CONFIGURED
     if _CONFIGURED:
         return
-    cache_dir = os.environ.get(
-        "GOETHKZG_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "goethkzg_tpu_jax"))
+    # Repo-local by default (not $HOME): every process that imports the
+    # package — test runners, the bench harness, the multichip dryrun —
+    # shares one cache keyed by the install location, so compiles warmed
+    # in one process are millisecond loads in the next even when $HOME
+    # differs between harnesses.
+    default_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "data", "cache", "jax")
+    cache_dir = os.environ.get("GOETHKZG_JAX_CACHE", default_dir)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -73,3 +73,16 @@ def test_g1_malformed_rejected():
     bad[47] ^= 1                               # not on curve
     with pytest.raises(DeserializationError):
         ser.deserialize_g1(bytes(bad))
+
+
+def test_g1_wrong_length_rejected():
+    """Wire points must be exactly 48 bytes (reference: the [48]byte type
+    of serialization.go:56-95 makes this structural; spec vector
+    compute_blob_kzg_proof_case_invalid_commitment_d070689c sends 49)."""
+    from goethkzg_tpu.golden.curve import DeserializationError
+    g = ser.serialize_g1(gc.g1_generator())
+    for bad in (g + b"\x00", g[:-1], b"", g * 2):
+        with pytest.raises(DeserializationError):
+            ser.deserialize_g1(bad)
+        with pytest.raises(DeserializationError):
+            ser.deserialize_g1_batch([g, bad])
