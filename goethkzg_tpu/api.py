@@ -80,15 +80,22 @@ class Context:
         self.domain_ext = get_domain(SCALARS_PER_EXT_BLOB)
         rev = bitrev_indices(SCALARS_PER_BLOB)
         roots = np.asarray(self.domain.roots_natural)
-        self.roots_brp = jnp.asarray(roots[rev])
+        # host numpy: these are closed over by the jitted graphs, and a
+        # closed-over DEVICE constant costs a device->host fetch per first
+        # lowering (seconds to minutes over a remote-TPU tunnel)
+        self.roots_brp = roots[rev]
         inv_idx = (-np.arange(SCALARS_PER_BLOB)) % SCALARS_PER_BLOB
-        self.roots_brp_inv = jnp.asarray(roots[inv_idx][rev])
+        self.roots_brp_inv = roots[inv_idx][rev]
 
         # --- commit keys ------------------------------------------------------
         lx, ly, linf = parsed.g1_lagrange
+        # device-resident (passed as jit ARGS, so they upload once and every
+        # call reuses the committed buffers — unlike closed-over constants)
         self.lagrange_brp = (jnp.asarray(lx[rev]), jnp.asarray(ly[rev]),
                              jnp.asarray(linf[rev]))
+        self._lagrange_has_inf = bool(linf.any())
         self.monomial_key = tuple(jnp.asarray(a) for a in parsed.g1_monomial)
+        self._monomial_np = tuple(np.asarray(a) for a in parsed.g1_monomial)
 
         # --- opening keys (golden affine ints for the pairing side) ----------
         self.gen_g1 = gcurve.g1_generator()
@@ -115,7 +122,7 @@ class Context:
             cache = (os.path.join(_CACHE_DIR,
                                   f"fk20_{self._setup_digest}_v1.npz")
                      if self._setup_digest else None)
-            self._fk20 = FK20(self.curve, self.monomial_key, cache)
+            self._fk20 = FK20(self.curve, self._monomial_np, cache)
         return self._fk20
 
     @property
@@ -129,7 +136,9 @@ class Context:
     def mp_key(self):
         if self._mp_key is None:
             from .engines.kzg_multi import MultiPointOpeningKey
-            key64 = tuple(a[:SCALARS_PER_CELL] for a in self.monomial_key)
+            # numpy slices: these 64 points are closed over by the cell
+            # verify graph, so they must not be device arrays (see above)
+            key64 = tuple(a[:SCALARS_PER_CELL] for a in self._monomial_np)
             self._mp_key = MultiPointOpeningKey(self.curve, key64,
                                                 self.g2_points)
         return self._mp_key
@@ -150,8 +159,7 @@ class Context:
         """Fixed-base table path: TPU only, and only for setups whose
         Lagrange key has no infinity points (any real setup)."""
         from .ops.field import _pallas_enabled
-        return _pallas_enabled() and not bool(np.asarray(
-            self.lagrange_brp[2]).any())
+        return _pallas_enabled() and not self._lagrange_has_inf
 
     @property
     def commit_table(self):
@@ -314,6 +322,51 @@ class Context:
 
         return jax.jit(run)
 
+    def _batch_verify_fused_fn(self):
+        """Like _batch_verify_fn, but the G1 wire decode (sqrt, sign,
+        on-curve + subgroup checks — ops/decompress.py) AND the instance
+        assembly run inside the same graph: the whole batch verification
+        is ONE device dispatch from wire bytes to the two pairing inputs.
+
+        The decode block holds H = P/2 comms rows then H quotient rows
+        (padded on the host with the generator's encoding, zero scalars);
+        `batch` never appears in the graph, so distinct live batch sizes
+        share one compiled executable per (pad, Q) bucket pair.
+        """
+        from .ops import decompress as dec_mod
+        fr, curve = self.fr, self.curve
+        roots, roots_inv = self.roots_brp, self.roots_brp_inv
+        n_inv = self.domain.n_inv_mont
+
+        def run(polys_normal, chal_normal, rp_mont, x_limbs, sign, infm,
+                scl, fe_mask):
+            wx, wy, winf, ok = dec_mod.decode_g1_graph(
+                curve, x_limbs, sign, infm, True)
+            H = x_limbs.shape[0] // 2
+            Q = scl.shape[1]
+            poly = fr.to_mont(polys_normal)
+            z = fr.to_mont(chal_normal)
+            y, _, _, _ = kzg_engine.eval_lagrange(roots, roots_inv, n_inv,
+                                                  poly, z)
+            fe = fr.sum(fr.mul(rp_mont, y), axis=-2)         # Σ rᵢ yᵢ
+            fe_neg = fr.from_mont(fr.neg(fe))                # (R - fe) normal
+            scl = jnp.where(fe_mask[..., None], fe_neg[None, None, :], scl)
+            px = jnp.stack([wx[:Q], wx[H:H + Q], wx[H:H + Q]])
+            py = jnp.stack([wy[:Q], wy[H:H + Q], wy[H:H + Q]])
+            pinf = jnp.stack([winf[:Q], winf[H:H + Q], winf[H:H + Q]])
+            res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
+                                      shared_points=False)
+
+            def inst(i):
+                return tuple(c[i] for c in res)
+
+            lhs1 = curve.add(inst(0), inst(1))
+            lhs2 = curve.neg(inst(2))
+            both = tuple(jnp.stack([a, b]) for a, b in zip(lhs1, lhs2))
+            return self._affine_normal(both) + (ok,)
+
+        return jax.jit(run)
+
     def _cell_verify_fn(self):
         """Device graph for verify_cell_kzg_proof_batch (reference:
         internal/kzg_multi/kzg_verify.go:16-105): three folding MSMs over
@@ -337,6 +390,38 @@ class Context:
             rl = curve.add(curve.add(inst(1), curve.neg(ic)), inst(2))
             both = tuple(jnp.stack([a, b]) for a, b in zip(inst(0), rl))
             return self._affine_normal(both)
+
+        return jax.jit(run)
+
+    def _cell_verify_fused_fn(self):
+        """_cell_verify_fn with the G1 wire decode fused in: one dispatch
+        from wire bytes to the two pairing inputs.  Decode block layout:
+        H = P/2 proof rows then H commitment rows, generator-padded."""
+        from .ops import decompress as dec_mod
+        fr, curve = self.fr, self.curve
+        mp = self.mp_key
+
+        def run(x_limbs, sign, infm, scl, evals_normal, idx, rp_mont):
+            wx, wy, winf, ok = dec_mod.decode_g1_graph(
+                curve, x_limbs, sign, infm, True)
+            H = x_limbs.shape[0] // 2
+            Q = scl.shape[1]
+            px = jnp.stack([wx[:Q], wx[H:H + Q], wx[:Q]])
+            py = jnp.stack([wy[:Q], wy[H:H + Q], wy[:Q]])
+            pinf = jnp.stack([winf[:Q], winf[H:H + Q], winf[:Q]])
+            res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
+                                      shared_points=False)
+
+            def inst(i):
+                return tuple(c[i] for c in res)
+
+            interp = mp.fold_interpolation_poly(fr.to_mont(evals_normal),
+                                                idx, rp_mont)
+            ic = msm_mod.msm(curve, mp.g1_points, fr.from_mont(interp),
+                             window=4)
+            rl = curve.add(curve.add(inst(1), curve.neg(ic)), inst(2))
+            both = tuple(jnp.stack([a, b]) for a, b in zip(inst(0), rl))
+            return self._affine_normal(both) + (ok,)
 
         return jax.jit(run)
 
@@ -386,8 +471,35 @@ class Context:
         """Generator as Montgomery limb rows (for device-side assembly)."""
         if self._gen_arrays is None:
             gx, gy, _ = serialization.g1_points_to_device_arrays([self.gen_g1])
-            self._gen_arrays = (jnp.asarray(gx[0]), jnp.asarray(gy[0]))
+            self._gen_arrays = (np.asarray(gx[0]), np.asarray(gy[0]))
         return self._gen_arrays
+
+    @property
+    def _gen_g1_bytes(self) -> bytes:
+        """Generator's compressed encoding — the padding/filler point for
+        the fused decode blocks (always decodes valid; padding scalars are
+        zero so it contributes the identity to every fold)."""
+        if getattr(self, "_gen_bytes", None) is None:
+            self._gen_bytes = serialization.serialize_g1(self.gen_g1)
+        return self._gen_bytes
+
+    def _parse_wire_blocks(self, block_a, block_b, H: int):
+        """Two lists of 48-byte encodings -> decode-graph inputs, each
+        block generator-padded to H rows (layout [a(H) ; b(H)])."""
+        from .ops import decompress as dec_mod
+        g = self._gen_g1_bytes
+        padded = (list(block_a) + [g] * (H - len(block_a))
+                  + list(block_b) + [g] * (H - len(block_b)))
+        try:
+            return dec_mod.parse_g1_compressed_batch(padded)
+        except dec_mod.G1DecompressError as e:
+            raise gcurve.DeserializationError(str(e)) from None
+
+    def _decode_block_rows(self) -> int:
+        """Half-height H of the fused decode block: the Pallas field muls
+        need >= 256 lanes (field.py:218), so 2H >= 256 on TPU."""
+        from .ops.field import _pallas_enabled
+        return 128 if _pallas_enabled() else 0
 
     def _affine_to_golden(self, ax, ay, ainf, i=0):
         """Normal-form affine device arrays -> golden tuple (row i)."""
@@ -474,10 +586,7 @@ class Context:
 
         polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
         use_dev = batch > 1 and self._device_decode_enabled()
-        if use_dev:
-            wx, wy, winf = self._decode_g1_device(
-                list(commitments) + list(proofs))
-        else:
+        if not use_dev:
             comms = serialization.deserialize_g1_batch(commitments)
             quotients = serialization.deserialize_g1_batch(proofs)
         challenges = fiatshamir.compute_challenges_batch(blobs, commitments)
@@ -503,30 +612,6 @@ class Context:
         rz = [ri * zi % R_MOD for ri, zi in zip(r_powers, z_ints)]
 
         M = _pad_bucket(batch + 1)          # +1: generator slot in inst 0
-        if use_dev:
-            # decoded rows never leave the device: comms ++ gen ++ inf-pad,
-            # proofs ++ inf-pad (padding rows have zero scalars)
-            gen_x, gen_y = self._gen_g1_arrays
-            n = wx.shape[-1]
-            zc = jnp.zeros((M - batch - 1, n), jnp.uint32)
-            zq = jnp.zeros((M - batch, n), jnp.uint32)
-            cx = jnp.concatenate([wx[:batch], gen_x[None], zc])
-            cy = jnp.concatenate([wy[:batch], gen_y[None], zc])
-            cinf = jnp.concatenate([winf[:batch], jnp.zeros((1,), bool),
-                                    jnp.ones((M - batch - 1,), bool)])
-            qx = jnp.concatenate([wx[batch:], zq])
-            qy = jnp.concatenate([wy[batch:], zq])
-            qinf = jnp.concatenate([winf[batch:],
-                                    jnp.ones((M - batch,), bool)])
-            px, py = jnp.stack([cx, qx, qx]), jnp.stack([cy, qy, qy])
-            pinf = jnp.stack([cinf, qinf, qinf])
-        else:
-            cpts = comms + [self.gen_g1] + [None] * (M - batch - 1)
-            qpts = quotients + [None] * (M - batch)
-            cx, cy, cinf = serialization.g1_points_to_device_arrays(cpts)
-            qx, qy, qinf = serialization.g1_points_to_device_arrays(qpts)
-            px, py = np.stack([cx, qx, qx]), np.stack([cy, qy, qy])
-            pinf = np.stack([cinf, qinf, qinf])
         scl = np.stack([self._scalar_rows(r_powers, M),
                         self._scalar_rows(rz, M),
                         self._scalar_rows(r_powers, M)])
@@ -535,11 +620,42 @@ class Context:
         rp_mont = np.stack([self.fr.from_int(x) for x in r_powers]
                            + [np.zeros(16, np.uint32)] * (pad - batch))
 
-        run = self._jit("batch_verify", self._batch_verify_fn)
-        ax, ay, ainf = run(jnp.asarray(polys_p), jnp.asarray(chal_p),
-                           jnp.asarray(rp_mont), jnp.asarray(px),
-                           jnp.asarray(py), jnp.asarray(pinf),
-                           jnp.asarray(scl), jnp.asarray(fe_mask))
+        if use_dev:
+            # ONE dispatch from wire bytes to the pairing inputs: the
+            # decode block holds H generator-padded comms rows (the
+            # generator sits at row `batch` — instance 0 is comms ∪ {G1})
+            # then H quotient rows; padding scalars are zero.
+            H = max(M, self._decode_block_rows())
+            comms_blk = list(commitments) + [self._gen_g1_bytes] * (H - batch)
+            proofs_blk = list(proofs)
+            x_limbs, sign, infm = self._parse_wire_blocks(
+                comms_blk, proofs_blk, H)
+            run = self._jit("batch_verify_fused", self._batch_verify_fused_fn)
+            out = run(jnp.asarray(polys_p), jnp.asarray(chal_p),
+                      jnp.asarray(rp_mont), jnp.asarray(x_limbs),
+                      jnp.asarray(sign), jnp.asarray(infm),
+                      jnp.asarray(scl), jnp.asarray(fe_mask))
+            ax, ay, ainf, okm = jax.device_get(out)
+            real = np.zeros(2 * H, dtype=bool)
+            real[:batch] = True
+            real[H:H + batch] = True
+            if not okm[real].all():
+                i = int(np.argmin(okm[real]))
+                raise gcurve.DeserializationError(
+                    f"point {i}: not on curve or not in correct subgroup")
+        else:
+            cpts = comms + [self.gen_g1] + [None] * (M - batch - 1)
+            qpts = quotients + [None] * (M - batch)
+            cx, cy, cinf = serialization.g1_points_to_device_arrays(cpts)
+            qx, qy, qinf = serialization.g1_points_to_device_arrays(qpts)
+            px, py = np.stack([cx, qx, qx]), np.stack([cy, qy, qy])
+            pinf = np.stack([cinf, qinf, qinf])
+            run = self._jit("batch_verify", self._batch_verify_fn)
+            out = run(jnp.asarray(polys_p), jnp.asarray(chal_p),
+                      jnp.asarray(rp_mont), jnp.asarray(px),
+                      jnp.asarray(py), jnp.asarray(pinf),
+                      jnp.asarray(scl), jnp.asarray(fe_mask))
+            ax, ay, ainf = jax.device_get(out)
         lhs1 = self._affine_to_golden(ax, ay, ainf, 0)
         lhs2 = self._affine_to_golden(ax, ay, ainf, 1)
         ok = self._pairing_check([
@@ -558,7 +674,7 @@ class Context:
     def _coeffs_fn(self):
         """blob scalars (brp-eval order, normal form) -> monomial coeffs."""
         fr = self.fr
-        rev = jnp.asarray(bitrev_indices(SCALARS_PER_BLOB))
+        rev = bitrev_indices(SCALARS_PER_BLOB)
         domain = self.domain
 
         def to_coeffs(poly_normal):
@@ -698,9 +814,7 @@ class Context:
             raise ErrInvalidCellID()
 
         use_dev = self._device_decode_enabled()
-        if use_dev:
-            wx, wy, winf = self._decode_g1_device(list(proofs) + unique)
-        else:
+        if not use_dev:
             comms_g = serialization.deserialize_g1_batch(unique)
             proofs_g = serialization.deserialize_g1_batch(proofs)
         evals = np.stack([serialization.deserialize_cell(c) for c in cells])
@@ -720,28 +834,7 @@ class Context:
                     for ci, rp in zip(cell_indices, r_powers)]
 
         pad = _pad_bucket(batch)
-        if use_dev:
-            n = wx.shape[-1]
-            U = len(unique)
-            zq = jnp.zeros((pad - batch, n), jnp.uint32)
-            zc = jnp.zeros((pad - U, n), jnp.uint32)
-            qx = jnp.concatenate([wx[:batch], zq])
-            qy = jnp.concatenate([wy[:batch], zq])
-            qinf = jnp.concatenate([winf[:batch],
-                                    jnp.ones((pad - batch,), bool)])
-            cx = jnp.concatenate([wx[batch:], zc])
-            cy = jnp.concatenate([wy[batch:], zc])
-            cinf = jnp.concatenate([winf[batch:],
-                                    jnp.ones((pad - U,), bool)])
-            px, py = jnp.stack([qx, cx, qx]), jnp.stack([qy, cy, qy])
-            pinf = jnp.stack([qinf, cinf, qinf])
-        else:
-            ppts = proofs_g + [None] * (pad - batch)
-            cpts = comms_g + [None] * (pad - len(comms_g))
-            qx, qy, qinf = serialization.g1_points_to_device_arrays(ppts)
-            cx, cy, cinf = serialization.g1_points_to_device_arrays(cpts)
-            px, py = np.stack([qx, cx, qx]), np.stack([qy, cy, qy])
-            pinf = np.stack([qinf, cinf, qinf])
+        U = len(unique)
         scl = np.stack([self._scalar_rows(r_powers, pad),
                         self._scalar_rows(weights, pad),
                         self._scalar_rows(weighted, pad)])
@@ -752,11 +845,37 @@ class Context:
         rp_mont = np.stack([self.fr.from_int(x) for x in
                             r_powers + [0] * (pad - batch)])
 
-        run = self._jit("cell_verify", self._cell_verify_fn)
-        ax, ay, ainf = run(jnp.asarray(px), jnp.asarray(py),
-                           jnp.asarray(pinf), jnp.asarray(scl),
-                           jnp.asarray(evals_p), jnp.asarray(idx_p),
-                           jnp.asarray(rp_mont))
+        if use_dev:
+            # ONE dispatch from wire bytes to the pairing inputs (decode
+            # block: H generator-padded proof rows, H commitment rows)
+            H = max(pad, self._decode_block_rows())
+            x_limbs, sign, infm = self._parse_wire_blocks(proofs, unique, H)
+            run = self._jit("cell_verify_fused", self._cell_verify_fused_fn)
+            out = run(jnp.asarray(x_limbs), jnp.asarray(sign),
+                      jnp.asarray(infm), jnp.asarray(scl),
+                      jnp.asarray(evals_p), jnp.asarray(idx_p),
+                      jnp.asarray(rp_mont))
+            ax, ay, ainf, okm = jax.device_get(out)
+            real = np.zeros(2 * H, dtype=bool)
+            real[:batch] = True
+            real[H:H + U] = True
+            if not okm[real].all():
+                i = int(np.argmin(okm[real]))
+                raise gcurve.DeserializationError(
+                    f"point {i}: not on curve or not in correct subgroup")
+        else:
+            ppts = proofs_g + [None] * (pad - batch)
+            cpts = comms_g + [None] * (pad - len(comms_g))
+            qx, qy, qinf = serialization.g1_points_to_device_arrays(ppts)
+            cx, cy, cinf = serialization.g1_points_to_device_arrays(cpts)
+            px, py = np.stack([qx, cx, qx]), np.stack([qy, cy, qy])
+            pinf = np.stack([qinf, cinf, qinf])
+            run = self._jit("cell_verify", self._cell_verify_fn)
+            out = run(jnp.asarray(px), jnp.asarray(py),
+                      jnp.asarray(pinf), jnp.asarray(scl),
+                      jnp.asarray(evals_p), jnp.asarray(idx_p),
+                      jnp.asarray(rp_mont))
+            ax, ay, ainf = jax.device_get(out)
         folded_proofs = self._affine_to_golden(ax, ay, ainf, 0)
         rl = self._affine_to_golden(ax, ay, ainf, 1)
         s_pow_cs_g2 = self.g2_points[SCALARS_PER_CELL]

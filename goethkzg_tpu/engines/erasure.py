@@ -90,4 +90,4 @@ class DataRecovery:
         if self._recover_jit is None:
             self._recover_jit = self._build_recover()
         zx = self.vanishing_poly_coeffs(missing_block_indices)
-        return self._recover_jit(data_mont, jnp.asarray(zx))
+        return self._recover_jit(data_mont, zx)

@@ -118,12 +118,13 @@ class FK20:
             for i in range(1, cs):
                 circ_idx[v, cs + i] = rows[v, cs - i]
                 circ_msk[v, cs + i] = 1
-        self._circ_idx = jnp.asarray(circ_idx)
-        self._circ_msk = jnp.asarray(circ_msk[..., None].astype(bool))
+        # host numpy constants (device constants stall lowering — field.py)
+        self._circ_idx = circ_idx
+        self._circ_msk = circ_msk[..., None].astype(bool)
 
-        # stage-2 compacted composite matrix (host ints -> device digits)
+        # stage-2 compacted composite matrix (host ints -> digit rows)
         k_idx, coeffs = composite_proof_matrix(self.num_cosets)
-        self._s2_k_idx = jnp.asarray(k_idx)                 # [nc, P]
+        self._s2_k_idx = k_idx                              # [nc, P]
         self._s2_scalars = np.stack(
             [np.stack([int_to_limbs(int(c), 16) for c in row])
              for row in coeffs])                            # [nc, P, 16]
@@ -137,8 +138,7 @@ class FK20:
         """
         if cache_path and os.path.exists(cache_path):
             z = np.load(cache_path)
-            return (jnp.asarray(z["tx"]), jnp.asarray(z["ty"]),
-                    jnp.asarray(z["tinf"]))
+            return (z["tx"], z["ty"], z["tinf"])
 
         mx, my, minf = (np.asarray(a) for a in monomial_key)
         cs = self.coset_size
@@ -170,7 +170,7 @@ class FK20:
         if cache_path:
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
             np.savez_compressed(cache_path, tx=tx, ty=ty, tinf=tinf)
-        return (jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(tinf))
+        return (tx, ty, tinf)
 
     def _production_kernel_path(self) -> bool:
         from ..ops.field import _pallas_enabled
@@ -188,9 +188,9 @@ class FK20:
             assert not bool(np.asarray(tinf).any()), \
                 "FFT'd SRS vectors contain no infinities for the 4096 setup"
             # flatten [k, v] -> i = v*L + k (lane = frequency k)
-            fx = jnp.swapaxes(tx, 0, 1).reshape(-1, tx.shape[-1])
-            fy = jnp.swapaxes(ty, 0, 1).reshape(-1, ty.shape[-1])
-            finf = jnp.swapaxes(tinf, 0, 1).reshape(-1)
+            fx = np.swapaxes(np.asarray(tx), 0, 1).reshape(-1, tx.shape[-1])
+            fy = np.swapaxes(np.asarray(ty), 0, 1).reshape(-1, ty.shape[-1])
+            finf = np.swapaxes(np.asarray(tinf), 0, 1).reshape(-1)
             self._s1_table = ptm.build_table_device(
                 self.curve, (fx, fy, finf), wbits=4, pair_order="vW")
         return self._s1_table
@@ -264,6 +264,6 @@ class FK20:
         pts = (gx.reshape(B * nc, P, F.n), gy.reshape(B * nc, P, F.n),
                ginf.reshape(B * nc, P))
         proofs = msm_mod.msm_instances(
-            curve, pts, jnp.asarray(self._s2_scalars),
+            curve, pts, self._s2_scalars,
             digits_sel=("mod", nc), NI=B * nc, wbits=4)
         return tuple(c.reshape(lead + (nc,) + c.shape[1:]) for c in proofs)

@@ -47,9 +47,10 @@ class MultiPointOpeningKey:
             for i in range(cs):
                 tables[k, i] = fr.from_int(v)
                 v = v * inv % R_MOD
-        self.inv_scale_tables = jnp.asarray(tables)
+        # host numpy constants (device constants stall lowering — field.py)
+        self.inv_scale_tables = tables
         self.domain_cs = get_domain(cs)
-        self._rev_cs = jnp.asarray(bitrev_indices(cs))
+        self._rev_cs = bitrev_indices(cs)
         self._interp_jit = None
 
     def _build_interp(self):

@@ -12,6 +12,7 @@ eq/select and a `zero`/`one_mont` constant of their element shape.
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class CurveOps:
@@ -217,7 +218,7 @@ class CurveOps:
         """[k]P where k is Fr limbs in normal (non-Montgomery) form."""
         # bits, MSB first: limb j bit b -> position 16*j + b
         limbs = scalar_limbs_normal
-        shifts = jnp.arange(16, dtype=jnp.uint32)
+        shifts = np.arange(16, dtype=np.uint32)
         bits = (limbs[..., :, None] >> shifts[None, :]) & 1  # [..., 16, 16] LSB order
         bits = bits.reshape(bits.shape[:-2] + (-1,))[..., ::-1]  # MSB first
         return self.scalar_mul_bits(p, bits.astype(jnp.uint32))

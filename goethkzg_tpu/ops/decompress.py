@@ -126,8 +126,8 @@ def _mul_z_abs(curve, p):
     graph takes >15 min to compile per batch-bucket shape — the scan body
     is traced once, keeping the decode graph compile-friendly on the
     remote TPU compiler."""
-    bits = jnp.asarray([(Z_ABS >> i) & 1 for i in range(62, -1, -1)],
-                       dtype=jnp.uint32)
+    bits = np.asarray([(Z_ABS >> i) & 1 for i in range(62, -1, -1)],
+                      dtype=np.uint32)
 
     def body(acc, bit):
         acc2 = curve.double(acc)
@@ -136,6 +136,40 @@ def _mul_z_abs(curve, p):
 
     out, _ = jax.lax.scan(body, p, bits)
     return out
+
+
+def decode_g1_graph(curve, x_normal, sign, inf, subgroup_check: bool = True):
+    """The decode computation, traceable inside any caller graph (the
+    fused verify graphs inline it so decode + fold-MSMs are ONE dispatch).
+
+    x_normal [B, 24] u32, sign/inf [B] bool (from
+    parse_g1_compressed_batch).  Returns (x_mont, y_mont, inf, ok)."""
+    F = curve.F
+    b_mont = F.from_int(G1_B)
+    half_plus = int_to_limbs((P_MOD + 1) // 2, F.n)
+    sqrt_exp = (P_MOD + 1) // 4
+
+    x = F.to_mont(x_normal)
+    y2 = F.add(F.mul(F.sqr(x), x), b_mont)
+    y = F.pow_const_windowed(y2, sqrt_exp)
+    on_curve = F.eq(F.mul(y, y), y2) | inf
+    # lexicographic sign: flag set -> pick the larger root
+    y_norm = F.from_mont(y)
+    _, borrow = F._sub_raw(y_norm, jnp.broadcast_to(
+        half_plus, y_norm.shape))
+    is_larger = borrow == 0          # y >= (p+1)/2
+    y = F.select(is_larger ^ sign, F.neg(y), y)
+    ok = on_curve
+    if subgroup_check:
+        beta_mont = F.from_int(_calibrated_beta())
+        pj = curve.from_affine(x, y, inf)
+        z2p = _mul_z_abs(curve, _mul_z_abs(curve, pj))
+        phi = curve.from_affine(F.mul(beta_mont, x), y, inf)
+        ok = ok & (curve.is_infinity(curve.add(phi, z2p)) | inf)
+    zero = jnp.zeros_like(x)
+    x_out = jnp.where(inf[..., None], zero, x)
+    y_out = jnp.where(inf[..., None], zero, y)
+    return x_out, y_out, inf, ok
 
 
 class DeviceG1Decoder:
@@ -147,33 +181,11 @@ class DeviceG1Decoder:
         self._jits = {}
 
     def _build(self, subgroup_check: bool):
-        F, curve = self.F, self.curve
-        b_mont = jnp.asarray(F.from_int(G1_B))
-        half_plus = jnp.asarray(int_to_limbs((P_MOD + 1) // 2, F.n))
-        beta_mont = jnp.asarray(F.from_int(_calibrated_beta()))
-        sqrt_exp = (P_MOD + 1) // 4
+        curve = self.curve
 
         def run(x_normal, sign, inf):
-            x = F.to_mont(x_normal)
-            y2 = F.add(F.mul(F.sqr(x), x), b_mont)
-            y = F.pow_const_windowed(y2, sqrt_exp)
-            on_curve = F.eq(F.mul(y, y), y2) | inf
-            # lexicographic sign: flag set -> pick the larger root
-            y_norm = F.from_mont(y)
-            _, borrow = F._sub_raw(y_norm, jnp.broadcast_to(
-                half_plus, y_norm.shape))
-            is_larger = borrow == 0          # y >= (p+1)/2
-            y = F.select(is_larger ^ sign, F.neg(y), y)
-            ok = on_curve
-            if subgroup_check:
-                pj = curve.from_affine(x, y, inf)
-                z2p = _mul_z_abs(curve, _mul_z_abs(curve, pj))
-                phi = curve.from_affine(F.mul(beta_mont, x), y, inf)
-                ok = ok & (curve.is_infinity(curve.add(phi, z2p)) | inf)
-            zero = jnp.zeros_like(x)
-            x_out = jnp.where(inf[..., None], zero, x)
-            y_out = jnp.where(inf[..., None], zero, y)
-            return x_out, y_out, inf, ok
+            return decode_g1_graph(curve, x_normal, sign, inf,
+                                   subgroup_check)
 
         return jax.jit(run)
 

@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MASK16 = jnp.uint32(0xFFFF)
-U32 = jnp.uint32
+MASK16 = np.uint32(0xFFFF)   # host scalar: a jnp scalar would be a device
+U32 = np.uint32              # constant and stall first lowerings (see below)
 
 # ---------------------------------------------------------------------------
 # Pallas dispatch: the Montgomery multiply runs as a VMEM-resident Pallas
@@ -94,12 +94,16 @@ class FieldSpec:
         # N' = -N^{-1} mod R (full-width, for reduction-by-multiplication)
         self.n_prime = (-pow(modulus, -1, self.R)) % self.R
 
+        # All constants are HOST numpy arrays, never device arrays: a
+        # closed-over device constant forces a device->host fetch at every
+        # first lowering (over a remote-TPU tunnel that is seconds to
+        # minutes); numpy constants embed directly into the module.
         n = self.n
-        self.mod_limbs = jnp.asarray(int_to_limbs(modulus, n))
-        self.np_limbs = jnp.asarray(int_to_limbs(self.n_prime, n))
-        self.one_mont = jnp.asarray(int_to_limbs(self.R_mod, n))
-        self.r2_limbs = jnp.asarray(int_to_limbs(self.R2_mod, n))
-        self.zero = jnp.zeros((n,), dtype=jnp.uint32)
+        self.mod_limbs = int_to_limbs(modulus, n)
+        self.np_limbs = int_to_limbs(self.n_prime, n)
+        self.one_mont = int_to_limbs(self.R_mod, n)
+        self.r2_limbs = int_to_limbs(self.R2_mod, n)
+        self.zero = np.zeros((n,), dtype=np.uint32)
         # Interface shared with Fp2Field for generic curve code:
         self.zero_elem = self.zero
         self.one_elem = self.one_mont
@@ -117,7 +121,7 @@ class FieldSpec:
                     if 0 <= j < n:
                         idx[i, k] = j
                         msk[i, k] = 1
-            return jnp.asarray(idx), jnp.asarray(msk)
+            return idx, msk
 
         self._idx_full, self._msk_full = band(2 * n)
         self._idx_low, self._msk_low = band(n)
@@ -273,9 +277,9 @@ class FieldSpec:
     def pow_const(self, a, exponent: int):
         """a^exponent (Montgomery in/out) for a Python-int exponent, via scan."""
         nbits = max(exponent.bit_length(), 1)
-        bits = jnp.asarray(
+        bits = np.asarray(
             [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)],
-            dtype=jnp.uint32)
+            dtype=np.uint32)
 
         def body(acc, bit):
             acc2 = self.sqr(acc)
@@ -295,9 +299,9 @@ class FieldSpec:
         sqrt/inversion on the wire-decode path)."""
         nbits = max(exponent.bit_length(), 1)
         nw = -(-nbits // wbits)
-        digits = jnp.asarray(
+        digits = np.asarray(
             [(exponent >> (wbits * (nw - 1 - i))) & ((1 << wbits) - 1)
-             for i in range(nw)], dtype=jnp.int32)
+             for i in range(nw)], dtype=np.int32)
 
         # table of a^0 .. a^(2^wbits - 1); entry 0 built from `a` so every
         # row inherits a's varying-axes type (shard_map scan requirement)

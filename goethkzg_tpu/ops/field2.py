@@ -15,9 +15,10 @@ class Fp2Field:
     def __init__(self):
         self.fp = fp_spec()
         n = self.fp.n
-        self.zero_elem = jnp.zeros((2, n), dtype=jnp.uint32)
-        self.one_elem = jnp.stack(
-            [self.fp.one_mont, jnp.zeros((n,), dtype=jnp.uint32)])
+        # host numpy constants (see field.py: device constants stall lowering)
+        self.zero_elem = np.zeros((2, n), dtype=np.uint32)
+        self.one_elem = np.stack(
+            [self.fp.one_mont, np.zeros((n,), dtype=np.uint32)])
         self.trailing_dims = 2
 
     def _c(self, a, i):

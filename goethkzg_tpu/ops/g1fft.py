@@ -35,8 +35,8 @@ class G1FFT:
         self.n = n
         g = root_of_unity(n)
         g_inv = pow(g, -1, R_MOD)
-        self.n_inv_bits = jnp.asarray(_scalar_bits_msb(pow(n, -1, R_MOD)))
-        self._rev = jnp.asarray(bitrev_indices(n))
+        self.n_inv_bits = _scalar_bits_msb(pow(n, -1, R_MOD))
+        self._rev = bitrev_indices(n)
         self._tw_fwd = self._stage_bits(g)
         self._tw_inv = self._stage_bits(g_inv)
 
@@ -54,7 +54,7 @@ class G1FFT:
             for _ in range(s // 2):
                 bits.append(_scalar_bits_msb(w))
                 w = w * step % R_MOD
-            out.append(jnp.asarray(np.stack(bits, axis=1)))  # [256, s/2]
+            out.append(np.stack(bits, axis=1))  # [256, s/2]
             s *= 2
         return out
 

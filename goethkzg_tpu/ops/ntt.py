@@ -42,7 +42,7 @@ def bitrev_indices(n: int) -> np.ndarray:
 def bit_reverse(x, axis=-2):
     """Bit-reversal permutation along the element axis of [..., N, limbs]."""
     n = x.shape[axis]
-    return jnp.take(x, jnp.asarray(bitrev_indices(n)), axis=axis)
+    return jnp.take(x, bitrev_indices(n), axis=axis)
 
 
 class Domain:
@@ -54,14 +54,16 @@ class Domain:
         self.generator = root_of_unity(n)
         self.generator_inv = pow(self.generator, -1, R_MOD)
         self.n_inv = pow(n, -1, R_MOD)
-        self.n_inv_mont = jnp.asarray(fr.from_int(self.n_inv))
+        # host numpy tables throughout (device constants stall lowering —
+        # see ops/field.py)
+        self.n_inv_mont = fr.from_int(self.n_inv)
 
         # stage twiddles for forward/inverse transforms
         self._tw_fwd = self._stage_twiddles(self.generator)
         self._tw_inv = self._stage_twiddles(self.generator_inv)
-        self._rev = jnp.asarray(bitrev_indices(n))
+        self._rev = bitrev_indices(n)
 
-        # natural-order roots (host ints) and device tables (Montgomery)
+        # natural-order roots (host ints) and Montgomery limb tables
         self.roots_int = self._powers_int(self.generator)
         self.roots_natural = self._to_dev(self.roots_int)
 
@@ -73,7 +75,7 @@ class Domain:
 
     def _to_dev(self, ints):
         fr = self.fr
-        return jnp.asarray(np.stack([fr.from_int(v) for v in ints]))
+        return np.stack([fr.from_int(v) for v in ints])
 
     def _stage_twiddles(self, g: int):
         """For stage with block size s: w_k = g^{(n/s) k}, k < s/2."""
@@ -87,7 +89,7 @@ class Domain:
             for _ in range(s // 2):
                 ws.append(fr.from_int(w))
                 w = w * step % R_MOD
-            tws.append(jnp.asarray(np.stack(ws)))
+            tws.append(np.stack(ws))
             s //= 2
         return tws
 
@@ -129,8 +131,8 @@ class CosetDomain:
         for _ in range(n - 1):
             pw.append(pw[-1] * coset_gen % R_MOD)
             pwi.append(pwi[-1] * inv % R_MOD)
-        self._scale = jnp.asarray(np.stack([fr.from_int(v) for v in pw]))
-        self._scale_inv = jnp.asarray(np.stack([fr.from_int(v) for v in pwi]))
+        self._scale = np.stack([fr.from_int(v) for v in pw])
+        self._scale_inv = np.stack([fr.from_int(v) for v in pwi])
 
     def coset_fft(self, x):
         fr = self.domain.fr

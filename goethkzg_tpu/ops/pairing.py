@@ -138,9 +138,9 @@ class Tower:
     def f12_pow_const(self, a, exponent: int):
         """a^exponent via scan over fixed bits (MSB first)."""
         nbits = max(exponent.bit_length(), 1)
-        bits = jnp.asarray(
+        bits = np.asarray(
             [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)],
-            dtype=jnp.uint32)
+            dtype=np.uint32)
 
         def body(acc, bit):
             s = self.f12_sqr(acc)
@@ -162,7 +162,7 @@ def get_tower() -> Tower:
 def _frob_tables():
     f2 = fp2_field()
     g1, g2, g3 = gfield._G1_FROB, gfield._G2_FROB, gfield._G3_FROB
-    to_dev = lambda tbl: [jnp.asarray(f2.from_ints(c)) for c in tbl]
+    to_dev = lambda tbl: [f2.from_ints(c) for c in tbl]
     return to_dev(g1), to_dev(g2), to_dev(g3)
 
 
@@ -210,7 +210,7 @@ def _line_double(tw: Tower, curve2, T, xp_fp, yp_fp):
     Y2 = f2.sqr(Y)
     YZ3 = f2.mul(Y, Z3)
     X2Z2 = f2.mul(X2, Z2)
-    xi = jnp.asarray(f2.from_ints(_XI_INT))
+    xi = f2.from_ints(_XI_INT)
     A = f2.mul(f2.mul_scalar_fp(f2.add(YZ3, YZ3), yp_fp), xi)
     three_x3 = f2.add(f2.add(X3, X3), X3)
     B = f2.sub(three_x3, f2.add(Y2, Y2))
@@ -234,7 +234,7 @@ def _line_add(tw: Tower, curve2, T, Q_aff, xp_fp, yp_fp):
     theta = f2.sub(Y, f2.mul(yq, Z3))
     pi = f2.sub(X, f2.mul(xq, Z2))
     piZ = f2.mul(pi, Z)
-    xi = jnp.asarray(f2.from_ints(_XI_INT))
+    xi = f2.from_ints(_XI_INT)
     A = f2.mul(f2.mul_scalar_fp(piZ, yp_fp), xi)
     B = f2.sub(f2.mul(theta, xq), f2.mul(piZ, yq))
     C = f2.neg(f2.mul_scalar_fp(theta, xp_fp))
@@ -254,8 +254,8 @@ def miller_pair(tw: Tower, p_aff, q_aff, valid):
     one2 = jnp.broadcast_to(f2.one_elem, q_aff[0].shape)
     T = (q_aff[0], q_aff[1], one2)
 
-    bits = jnp.asarray(
-        [int(b) for b in bin(BLS_X)[3:]], dtype=jnp.uint32)  # skip leading 1
+    bits = np.asarray(
+        [int(b) for b in bin(BLS_X)[3:]], dtype=np.uint32)  # skip leading 1
     f0 = tw.f12_one(xp.shape[:-1])
 
     def body(state, bit):

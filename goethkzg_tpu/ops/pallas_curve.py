@@ -81,7 +81,7 @@ def _is_zero_lm(a):
     int32 view is safe)
     """
     nz = jnp.max(a.astype(jnp.int32), axis=0)
-    return jnp.where(nz == 0, jnp.uint32(1), jnp.uint32(0))
+    return jnp.where(nz == 0, np.uint32(1), np.uint32(0))
 
 
 def _sel(mask, a, b):

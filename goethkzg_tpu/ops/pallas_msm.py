@@ -51,8 +51,8 @@ def signed_digits(scalars_normal, wbits: int = WBITS):
     nw = 256 // wbits
     half = 1 << (wbits - 1)
     per_limb = 16 // wbits
-    shifts = jnp.arange(per_limb, dtype=jnp.uint32) * wbits
-    d = ((scalars_normal[..., None] >> shifts) & jnp.uint32((1 << wbits) - 1))
+    shifts = np.arange(per_limb, dtype=np.uint32) * np.uint32(wbits)
+    d = ((scalars_normal[..., None] >> shifts) & np.uint32((1 << wbits) - 1))
     d = d.reshape(scalars_normal.shape[:-1] + (nw,)).astype(jnp.int32)
     outs = []
     carry = jnp.zeros(d.shape[:-1], dtype=jnp.int32)

@@ -47,8 +47,8 @@ def poly_mul(F, a, b):
     flat = prod.reshape(prod.shape[:-3] + (La * Lb, prod.shape[-1]))
     i = np.arange(La)[:, None]
     j = np.arange(Lb)[None, :]
-    diag = jnp.asarray((i + j).reshape(-1))                 # [La*Lb]
-    k = jnp.arange(K)[:, None]                              # [K, 1]
+    diag = (i + j).reshape(-1)                              # [La*Lb]
+    k = np.arange(K)[:, None]                               # [K, 1]
     mask = (diag[None, :] == k)[..., None]                  # [K, La*Lb, 1]
     terms = jnp.where(mask, flat[..., None, :, :],
                       jnp.zeros((), dtype=flat.dtype))      # [..., K, La*Lb, n]

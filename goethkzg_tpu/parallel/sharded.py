@@ -191,7 +191,7 @@ def _four_step_twiddles(n1: int, n2: int, inverse: bool):
     for i2 in range(n2):
         for k1 in range(n1):
             tw[k1, i2] = fr.from_int(pow(col[k1], i2, R_MOD))
-    return jnp.asarray(tw)
+    return tw
 
 
 def domain_sharded_fft(mesh: Mesh, x_mont, n1: int, n2: int,
@@ -263,7 +263,7 @@ def cells_sharded_proofs(mesh: Mesh, fk, poly_coeff_mont,
     assert nc % D == 0
     tx, ty, tinf = fk.table                       # [nc, cs] point arrays
     k_idx = fk._s2_k_idx                          # [nc, P]
-    s2_scalars = jnp.asarray(fk._s2_scalars)      # [nc, P, 16]
+    s2_scalars = fk._s2_scalars                   # [nc, P, 16]
 
     def local(poly, txl, tyl, tinfl, k_idxl, s2l):
         scalars = fk._toeplitz_scalars(poly[None])[0]       # [nc, cs, 16]
@@ -292,6 +292,103 @@ def cells_sharded_proofs(mesh: Mesh, fk, poly_coeff_mont,
         check_vma=False))
     with _pallas_ctx(mesh):
         return fn(poly_coeff_mont, tx, ty, tinf, k_idx, s2_scalars)
+
+
+def fused_sharded_step(mesh: Mesh, curve, points_affine, polys_normal,
+                       scalars_normal, a_mont, b_mont,
+                       axis_name: str = "data", window: int = 1):
+    """All three sharding patterns in ONE shard_map module:
+
+    1. data-parallel batched commit (blob axis sharded),
+    2. point-sharded MSM with all-gather + fold combine (point axis sharded),
+    3. domain-sharded lazy-carry inner product over psum.
+
+    One jit -> one XLA compile, and stages 1 + 2 STACK on the MSM instance
+    axis so the expensive point-op scan bodies (bucket walk, weighted walk,
+    Horner) compile exactly once — this is what lets the driver's 8-device
+    CPU dryrun fit its budget on a single-core host.
+
+    Returns (res, ip): res is a Jacobian tuple sharded on its leading axis
+    whose global rows interleave, per device, B_local data-parallel commit
+    results followed by one copy of the (replicated-by-construction)
+    point-sharded MSM result; ip is the replicated inner product.  Split
+    res on the host after one device_get.
+    """
+    fr = fr_spec()
+    td = curve.F.trailing_dims
+    vary = (axis_name,)
+
+    def local(pts, polys, lpts, lsc, a, b):
+        # Stages 1 + 2 share ONE bucket-walk / weighted-walk / Horner
+        # instantiation: the data-parallel commits (instances 0..B-1, full
+        # replicated point set) and the point-sharded partial MSM (last
+        # instance, the local point/scalar shard padded to N with infinity
+        # points and zero scalars) stack on the instance axis, so the
+        # expensive point-op scan bodies compile exactly once.
+        B, N = polys.shape[0], pts[0].shape[0]
+        n_local = lsc.shape[0]
+
+        def pad_pts(c, fill_inf):
+            pad_shape = (N - n_local,) + c.shape[1:]
+            fill = (jnp.ones(pad_shape, dtype=c.dtype) if fill_inf
+                    else jnp.zeros(pad_shape, dtype=c.dtype))
+            return jnp.concatenate([c, fill], axis=0)
+
+        px = jnp.concatenate(
+            [jnp.broadcast_to(pts[0][None], (B,) + pts[0].shape),
+             pad_pts(lpts[0], False)[None]])
+        py = jnp.concatenate(
+            [jnp.broadcast_to(pts[1][None], (B,) + pts[1].shape),
+             pad_pts(lpts[1], False)[None]])
+        pinf = jnp.concatenate(
+            [jnp.broadcast_to(pts[2][None], (B,) + pts[2].shape),
+             pad_pts(lpts[2], True)[None]])
+        lsc_pad = jnp.concatenate(
+            [lsc, jnp.zeros((N - n_local,) + lsc.shape[1:], lsc.dtype)])
+        sc = jnp.concatenate([polys, lsc_pad[None]])       # [B+1, N, limbs]
+
+        digits = msm_mod.fr_digits(sc, window)             # [B+1, N, W]
+        W = digits.shape[-1]
+        buckets = msm_mod._bucket_scan(
+            curve, px[:, None], py[:, None], pinf[:, None],
+            digits[:, None], 1 << window, vary)
+        merged = msm_mod._tree_add(curve, buckets, axis_from_end=2)
+        ws = msm_mod._weighted_bucket_sum(curve, merged, vary)  # [B+1, W]
+
+        # point-sharded combine: all-gather the last instance's partial
+        # window sums and fold sequentially (one add body)
+        ps_ws = tuple(c[B] for c in ws)
+        gathered = jax.tree.map(
+            lambda c: jax.lax.all_gather(c, axis_name), ps_ws)
+        folded = _scan_fold(curve, gathered)               # [W, *e]
+
+        combined = tuple(jnp.concatenate([c[:B], f[None]])
+                         for c, f in zip(ws, folded))      # [B+1, W]
+        res = msm_mod.combine_window_sums(curve, combined, window, vary)
+
+        # 3. domain-sharded inner product (lazy-carry psum)
+        prod = fr.mul(a, b)
+        cols = jax.lax.psum(
+            jnp.sum(prod.astype(jnp.uint32), axis=-2, dtype=jnp.uint32),
+            axis_name)
+        limbs, carry = fr._propagate_cols(cols)
+        carry_limbs = jnp.zeros_like(limbs).at[..., 0].set(carry)
+        ip = fr.add(fr.to_mont(fr.from_mont(limbs)),
+                    fr.mul(carry_limbs, fr.r2_limbs))
+        # res: [B_local+1, ...] per device — row B is this device's copy of
+        # the (replicated-by-construction) point-sharded MSM result
+        return res, ip
+
+    shard = P(axis_name)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=((P(), P(), P()), shard, (shard, shard, shard),
+                  shard, shard, shard),
+        out_specs=((shard,) * 3, P()),
+        check_vma=False))
+    with _pallas_ctx(mesh):
+        return fn(points_affine, polys_normal, points_affine,
+                  scalars_normal, a_mont, b_mont)
 
 
 def domain_sharded_inner_product(mesh: Mesh, a_mont, b_mont,

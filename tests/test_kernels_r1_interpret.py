@@ -145,7 +145,7 @@ def test_fused_bucket_msm_interpret_matches_golden():
     with pltpu.force_tpu_interpret_mode():
         buckets = pallas_msm.bucket_phase(FP, arrs, sc, FP.R_mod)
     merged = msm_mod._tree_add(CURVE, buckets, axis_from_end=2)
-    window_sums = msm_mod._seq_weighted_sum(CURVE, merged)
+    window_sums = msm_mod._weighted_bucket_sum(CURVE, merged, drop_zero=False)
     res = msm_mod.combine_window_sums(CURVE, window_sums, window=8)
 
     ax, ay, ainf = (np.asarray(c) for c in CURVE.to_affine(res))

@@ -213,6 +213,48 @@ def test_cells_sharded_proofs_mesh_invariant():
                 assert fp.to_int(ay[k]) == fp.to_int(wy[k]), f"coset {k}"
 
 
+def test_fused_sharded_step_mesh_invariant(setup):
+    """The driver-dryrun fused module (dp commits + point-sharded MSM +
+    psum inner product in ONE shard_map) on 1- and 8-device meshes."""
+    lag, pts = setup
+    fp, fr = fp_spec(), fr_spec()
+    curve = CurveOps(fp)
+    rng = np.random.default_rng(12)
+    poly_ints = rng.integers(1, 2**16, size=(8, N), dtype=np.int64)
+    scalar_ints = rng.integers(1, 2**16, size=N, dtype=np.int64)
+    a_ints = rng.integers(1, 2**16, size=N, dtype=np.int64)
+    b_ints = rng.integers(1, 2**16, size=N, dtype=np.int64)
+    polys = _to_limbs(poly_ints, n_limbs=1)
+    scalars = _to_limbs(scalar_ints, n_limbs=1)
+    a_mont = np.stack([fr.from_int(int(v)) for v in a_ints])
+    b_mont = np.stack([fr.from_int(int(v)) for v in b_ints])
+
+    want_dp = [_golden_msm(lag, poly_ints[b]) for b in range(8)]
+    want_msm = _golden_msm(lag, scalar_ints)
+    want_ip = sum(int(a) * int(b)
+                  for a, b in zip(a_ints, b_ints)) % fr.modulus
+
+    for mesh in _meshes():
+        ndev = mesh.devices.size
+        p = tuple(_put(mesh, a, False) for a in pts)
+        res, ip = sharded.fused_sharded_step(
+            mesh, curve, p, _put(mesh, polys, True),
+            _put(mesh, scalars, True), _put(mesh, a_mont, True),
+            _put(mesh, b_mont, True), window=1)
+        rx, ry, rz = (np.asarray(c) for c in res)
+        per_dev = rx.shape[0] // ndev
+        for b in range(8):
+            dev, off = divmod(b, per_dev - 1)
+            row = dev * per_dev + off
+            got = _jac_to_golden(fp, rx[row], ry[row], rz[row])
+            assert got == want_dp[b], f"mesh {ndev} blob {b}"
+        for d in range(ndev):
+            row = d * per_dev + (per_dev - 1)
+            got = _jac_to_golden(fp, rx[row], ry[row], rz[row])
+            assert got == want_msm, f"mesh {ndev} device {d}"
+        assert fr.to_int(np.asarray(ip)) == want_ip
+
+
 def test_domain_sharded_inner_product_mesh_invariant():
     fr = fr_spec()
     rng = np.random.default_rng(9)
