@@ -1,12 +1,19 @@
 """Headline benchmarks on one chip, end-to-end at the bytes API.
 
 Prints ONE JSON line, ALWAYS — even if the harness times the process out.
-The measurement loop runs in a daemon thread; the main thread waits with a
-deadline (GOETHKZG_BENCH_BUDGET_S, default 420 s) and also catches SIGTERM
-(what `timeout` sends), so whatever has been measured by then is emitted
-rather than lost.  Ops are measured in priority order: the primary metric
-(batched commit throughput, comparable across rounds) first, then the
-BASELINE.md north-star verify metrics and the cells prover.
+
+Watchdog design: measurement runs in a CHILD PROCESS that appends one JSON
+line per completed op to a results file; the parent (which never imports
+jax) enforces the deadline (GOETHKZG_BENCH_BUDGET_S, default 420 s) and
+SIGTERM (what `timeout` sends), then emits whatever the child has measured.
+A thread-based watchdog is NOT enough: a worker thread tracing/compiling a
+large XLA graph can hold the GIL for minutes, starving both a joining main
+thread and Python signal handlers (observed: a SIGTERM'd bench with an
+in-thread watchdog hung past its budget and emitted nothing).
+
+Ops are measured in priority order: the primary metric (batched commit
+throughput, comparable across rounds) first, then the BASELINE.md
+north-star verify metrics and the cells prover.
 
 vs_baseline compares against gnark-crypto single-core estimates (the
 reference publishes no absolute numbers — BASELINE.md):
@@ -24,8 +31,9 @@ persistent compilation cache under data/cache/jax is warm).
 import json
 import os
 import signal
+import subprocess
 import sys
-import threading
+import tempfile
 import time
 
 BATCH = 64
@@ -35,42 +43,13 @@ BUDGET_S = float(os.environ.get("GOETHKZG_BENCH_BUDGET_S", "420"))
 
 BASE = {
     "commit": 400.0,            # blobs/s, single gnark core
-    "verify_blob": 650.0,       # blobs/s
-    "verify_cell": 5000.0,      # cells/s
-    "cells_proofs": 5.0,        # blobs/s
+    "verify_blob_kzg_proof_batch": 650.0,       # blobs/s
+    "verify_cell_kzg_proof_batch": 5000.0,      # cells/s
+    "compute_cells_and_kzg_proofs": 5.0,        # blobs/s
 }
 
-_T0 = time.time()
-_RESULTS = {}          # op -> (value, unit, vs_baseline)
-_LOCK = threading.Lock()
-_EMITTED = threading.Event()
 
-
-def _emit_and_exit(code=0):
-    if _EMITTED.is_set():
-        os._exit(code)
-    _EMITTED.set()
-    with _LOCK:
-        res = dict(_RESULTS)
-    commit = res.pop("commit", None)
-    if commit is None:
-        line = {"metric": "blob_to_kzg_commitment_throughput", "value": 0.0,
-                "unit": f"blobs/s (batch={BATCH}, 1 chip)", "vs_baseline": 0.0,
-                "error": "primary metric not measured within budget"}
-    else:
-        line = {"metric": "blob_to_kzg_commitment_throughput",
-                "value": commit[0], "unit": commit[1],
-                "vs_baseline": commit[2]}
-    if res:
-        line["extra"] = {op: {"value": v, "unit": u, "vs_baseline": vs}
-                         for op, (v, u, vs) in res.items()}
-    print(json.dumps(line), flush=True)
-    os._exit(code)
-
-
-def _remaining():
-    return BUDGET_S - (time.time() - _T0)
-
+# ---------------------------------------------------------------- child side
 
 def _rand_blob(rng):
     from goethkzg_tpu.constants import R_MOD
@@ -90,14 +69,20 @@ def _time(fn):
     return best
 
 
-def _record(op, value, unit, base):
-    with _LOCK:
-        _RESULTS[op] = (round(value, 2), unit, round(value / base, 3))
-    print(f"# [{time.time() - _T0:6.1f}s] {op}: {value:.2f} {unit}",
-          file=sys.stderr, flush=True)
+def _child(results_path: str):
+    t0 = time.time()
+    out = open(results_path, "a", buffering=1)
 
+    def record(op, value, unit):
+        base = BASE[op]
+        out.write(json.dumps({"op": op, "value": round(value, 2),
+                              "unit": unit,
+                              "vs_baseline": round(value / base, 3)}) + "\n")
+        out.flush()
+        os.fsync(out.fileno())
+        print(f"# [{time.time() - t0:6.1f}s] {op}: {value:.2f} {unit}",
+              file=sys.stderr, flush=True)
 
-def _measure():
     import numpy as np
     from goethkzg_tpu.api import Context
 
@@ -107,51 +92,99 @@ def _measure():
 
     # ---- commit throughput (PRIMARY — always first) ------------------------
     t = _time(lambda: ctx.blob_to_kzg_commitment_batch(blobs))
-    _record("commit", BATCH / t, f"blobs/s (batch={BATCH}, 1 chip)",
-            BASE["commit"])
+    record("commit", BATCH / t, f"blobs/s (batch={BATCH}, 1 chip)")
     commits = ctx.blob_to_kzg_commitment_batch(blobs)
 
     # ---- verify_blob_kzg_proof_batch (north star #1) -----------------------
-    if _remaining() > 60:
-        proofs = [ctx.compute_blob_kzg_proof(b, c)
-                  for b, c in zip(blobs, commits)]
-        t = _time(lambda: ctx.verify_blob_kzg_proof_batch(
-            blobs, commits, proofs))
-        _record("verify_blob_kzg_proof_batch", BATCH / t,
-                f"blobs/s (batch={BATCH})", BASE["verify_blob"])
+    proofs = [ctx.compute_blob_kzg_proof(b, c) for b, c in zip(blobs, commits)]
+    t = _time(lambda: ctx.verify_blob_kzg_proof_batch(blobs, commits, proofs))
+    record("verify_blob_kzg_proof_batch", BATCH / t,
+           f"blobs/s (batch={BATCH})")
 
     # ---- compute_cells_and_kzg_proofs --------------------------------------
-    if _remaining() > 60:
-        t = _time(lambda: ctx.compute_cells_and_kzg_proofs(blobs[0]))
-        _record("compute_cells_and_kzg_proofs", 1.0 / t, "blobs/s (batch=1)",
-                BASE["cells_proofs"])
+    t = _time(lambda: ctx.compute_cells_and_kzg_proofs(blobs[0]))
+    record("compute_cells_and_kzg_proofs", 1.0 / t, "blobs/s (batch=1)")
 
     # ---- verify_cell_kzg_proof_batch (north star #2) -----------------------
-    if _remaining() > 60:
-        cells, cell_proofs = ctx.compute_cells_and_kzg_proofs(blobs[0])
-        idxs = list(range(CELL_BATCH))
-        comms = [commits[0]] * CELL_BATCH
-        t = _time(lambda: ctx.verify_cell_kzg_proof_batch(
-            comms, idxs, cells, cell_proofs))
-        _record("verify_cell_kzg_proof_batch", CELL_BATCH / t,
-                f"cells/s (batch={CELL_BATCH})", BASE["verify_cell"])
+    cells, cell_proofs = ctx.compute_cells_and_kzg_proofs(blobs[0])
+    idxs = list(range(CELL_BATCH))
+    comms = [commits[0]] * CELL_BATCH
+    t = _time(lambda: ctx.verify_cell_kzg_proof_batch(
+        comms, idxs, cells, cell_proofs))
+    record("verify_cell_kzg_proof_batch", CELL_BATCH / t,
+           f"cells/s (batch={CELL_BATCH})")
+
+
+# --------------------------------------------------------------- parent side
+
+def _emit(results_path: str, code: int = 0):
+    res = {}
+    try:
+        with open(results_path) as f:
+            for ln in f:
+                ln = ln.strip()
+                if not ln:
+                    continue
+                try:
+                    d = json.loads(ln)
+                    res[d["op"]] = d
+                except Exception:
+                    pass
+    except FileNotFoundError:
+        pass
+    commit = res.pop("commit", None)
+    if commit is None:
+        line = {"metric": "blob_to_kzg_commitment_throughput", "value": 0.0,
+                "unit": f"blobs/s (batch={BATCH}, 1 chip)", "vs_baseline": 0.0,
+                "error": "primary metric not measured within budget"}
+    else:
+        line = {"metric": "blob_to_kzg_commitment_throughput",
+                "value": commit["value"], "unit": commit["unit"],
+                "vs_baseline": commit["vs_baseline"]}
+    if res:
+        line["extra"] = {op: {"value": d["value"], "unit": d["unit"],
+                              "vs_baseline": d["vs_baseline"]}
+                         for op, d in res.items()}
+    print(json.dumps(line), flush=True)
+    sys.exit(code)
 
 
 def main():
-    signal.signal(signal.SIGTERM, lambda *a: _emit_and_exit(0))
-    signal.signal(signal.SIGINT, lambda *a: _emit_and_exit(0))
+    results_path = os.environ.get("GOETHKZG_BENCH_CHILD")
+    if results_path:
+        _child(results_path)
+        return
 
-    def run():
+    fd, results_path = tempfile.mkstemp(prefix="goethkzg_bench_",
+                                        suffix=".jsonl")
+    os.close(fd)
+    env = dict(os.environ, GOETHKZG_BENCH_CHILD=results_path)
+    child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             env=env, start_new_session=True,
+                             stdout=sys.stderr)
+
+    def kill_child():
         try:
-            _measure()
-        except Exception as e:  # partial results still get emitted
-            print(f"# bench error: {type(e).__name__}: {e}",
-                  file=sys.stderr, flush=True)
+            os.killpg(child.pid, signal.SIGKILL)   # exact pgid we created
+        except (ProcessLookupError, PermissionError):
+            pass
 
-    worker = threading.Thread(target=run, daemon=True)
-    worker.start()
-    worker.join(timeout=max(_remaining(), 1.0))
-    _emit_and_exit(0)
+    def on_term(*_a):
+        kill_child()
+        _emit(results_path, 0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    deadline = time.time() + BUDGET_S
+    while time.time() < deadline:
+        try:
+            if child.wait(timeout=1.0) is not None:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+    kill_child()
+    _emit(results_path, 0)
 
 
 if __name__ == "__main__":

@@ -309,8 +309,12 @@ class Context:
             fe = fr.sum(fr.mul(rp_mont, y), axis=-2)         # Σ rᵢ yᵢ
             fe_neg = fr.from_mont(fr.neg(fe))                # (R - fe) normal
             scl = jnp.where(fe_mask[..., None], fe_neg[None, None, :], scl)
+            # window=4 for the small fold MSMs: the one-hot bucket state the
+            # scan streams per point is C*W*2^w rows — 8x less HBM traffic
+            # than window=8 at N <= a few hundred points, where the bucket
+            # stream (not the adds) is the measured cost
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
-                                      shared_points=False)
+                                      shared_points=False, window=4)
 
             def inst(i):
                 return tuple(c[i] for c in res)
@@ -355,7 +359,7 @@ class Context:
             py = jnp.stack([wy[:Q], wy[H:H + Q], wy[H:H + Q]])
             pinf = jnp.stack([winf[:Q], winf[H:H + Q], winf[H:H + Q]])
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
-                                      shared_points=False)
+                                      shared_points=False, window=4)
 
             def inst(i):
                 return tuple(c[i] for c in res)
@@ -378,7 +382,7 @@ class Context:
 
         def run(px, py, pinf, scl, evals_normal, idx, rp_mont):
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
-                                      shared_points=False)
+                                      shared_points=False, window=4)
 
             def inst(i):
                 return tuple(c[i] for c in res)
@@ -410,7 +414,7 @@ class Context:
             py = jnp.stack([wy[:Q], wy[H:H + Q], wy[:Q]])
             pinf = jnp.stack([winf[:Q], winf[H:H + Q], winf[:Q]])
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
-                                      shared_points=False)
+                                      shared_points=False, window=4)
 
             def inst(i):
                 return tuple(c[i] for c in res)

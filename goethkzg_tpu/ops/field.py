@@ -173,8 +173,8 @@ class FieldSpec:
         Bound: each < n * 0xffff < 2^21.
         """
         # gathered b: [..., n, n_cols]
-        bg = b[..., idx] * msk
-        prod = a[..., :, None] * bg  # exact u32 (16x16)
+        bg = jnp.asarray(b)[..., idx] * msk   # coerce: .at[] below is jnp-only
+        prod = jnp.asarray(a)[..., :, None] * bg  # exact u32 (16x16)
         lo = (prod & MASK16).sum(axis=-2, dtype=jnp.uint32)
         hi = (prod >> 16).sum(axis=-2, dtype=jnp.uint32)
         # merge: hi of column k contributes to column k+1
@@ -190,7 +190,7 @@ class FieldSpec:
     def _sub_raw(self, a, b):
         """a - b via 16-bit complement addition; returns (limbs, borrow)."""
         comp = MASK16 - b
-        s = (a + comp).at[..., 0].add(1)  # a + (2^16n - 1 - b) + 1
+        s = jnp.asarray(a + comp).at[..., 0].add(1)  # a + (2^16n-1-b) + 1
         limbs, carry = self._ks(s)
         return limbs, U32(1) - carry
 
