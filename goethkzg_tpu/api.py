@@ -166,12 +166,35 @@ class Context:
         """4-bit signed-digit multiples of the brp Lagrange key — the
         fixed-base table both prover MSMs stream (reference srs.go:56 keeps
         only the raw key; gnark's generic Pippenger cannot pre-expand a
-        fixed base, the TPU kernel can).  ~400 MB in HBM, built on device
-        once per process."""
+        fixed base, the TPU kernel can).  ~400 MB in HBM.
+
+        Disk-cached per setup digest: the on-device build costs ~2 min of
+        sequential doubling/add scans, while loading the finished table
+        from disk and uploading it rides the ~260 MB/s host->device link
+        (~2 s) — without this cache the bench/driver budget is spent
+        rebuilding an immutable table every process."""
         if self._commit_table is None:
+            import os
             from .ops import pallas_tablemsm as ptm
-            self._commit_table = ptm.build_table_device(
-                self.curve, self.lagrange_brp, wbits=4, pair_order="wN")
+            from .trusted_setup import _CACHE_DIR
+            path = (os.path.join(
+                _CACHE_DIR, f"commit_table_w4_{self._setup_digest}_v1.npz")
+                if self._setup_digest else None)
+            if path and os.path.exists(path):
+                with np.load(path) as z:
+                    self._commit_table = (jnp.asarray(z["tx"]),
+                                          jnp.asarray(z["ty"]))
+            else:
+                self._commit_table = ptm.build_table_device(
+                    self.curve, self.lagrange_brp, wbits=4, pair_order="wN")
+                if path:
+                    tx, ty = (np.asarray(a) for a in self._commit_table)
+                    tmp = path + ".tmp"
+                    os.makedirs(_CACHE_DIR, exist_ok=True)
+                    np.savez(tmp, tx=tx, ty=ty)
+                    # np.savez appends .npz to names without it
+                    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz")
+                               else tmp, path)
         return self._commit_table
 
     def _commit_fn(self):
