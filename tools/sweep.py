@@ -21,24 +21,14 @@ Prints one JSON line per result and a final markdown table for PERF.md.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from tools.timing import measure as _time   # fetch-synced (timing.py)
+
 BATCH = 64
-REPS = 3
-
-
-def _time(fn):
-    fn()
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 
 def _emit(rows, name, seconds, unit_count, unit):
@@ -76,7 +66,7 @@ def main():
                 x = F.mul(x, b)
             return x
 
-        t = _time(lambda: chain(a, b).block_until_ready())
+        t = _time(lambda: chain(a, b))
         _emit(rows, "raw_mont_mul_fp", t, 8 * LANES, "muls/s")
 
     ctx = Context()
@@ -111,7 +101,7 @@ def main():
             return proj.tree_add(ctx.curve.F, res, axis_from_end=0)
 
         sc = jnp.asarray(scal)
-        t = _time(lambda: jax.block_until_ready(commit(sc)))
+        t = _time(lambda: commit(sc))
         _emit(rows, f"table_msm_w{wbits}_TB{TB}", t, BATCH, "blobs/s")
         del table
 
@@ -140,7 +130,7 @@ def main():
                 x = mont_mul_mxu(F, x, b)
             return x
 
-        t = _time(lambda: chain_mxu(a, b).block_until_ready())
+        t = _time(lambda: chain_mxu(a, b))
         _emit(rows, "mxu_mont_mul_fp", t, 8 * LANES, "muls/s")
 
     # ---- 3. round-1 fused bucket kernel --------------------------------
@@ -154,7 +144,7 @@ def main():
                                        shared_points=True)
 
         sc = jnp.asarray(scal)
-        t = _time(lambda: jax.block_until_ready(commit_bucket(sc)))
+        t = _time(lambda: commit_bucket(sc))
         _emit(rows, "bucket_msm_w8", t, BATCH, "blobs/s")
 
     # ---- 4. device wire decode -----------------------------------------
@@ -169,7 +159,7 @@ def main():
         d = DeviceG1Decoder(ctx.curve)
         for B in (128, 256):
             t = _time(lambda: np.asarray(
-                d.decode(enc[:B], subgroup_check=True)[3]))
+                d.decode(enc[:B], subgroup_check=True)[3]), warmup=1)
             _emit(rows, f"device_decode_{B}", t, B, "points/s")
 
     print("\n| config | seconds | rate |")
