@@ -59,11 +59,23 @@ class Context:
     """Holds all precomputed state (reference: api.go:17-28)."""
 
     def __init__(self, setup: dict | None = None, use_cache: bool = True,
-                 check_well_formed: bool = False):
+                 check_well_formed: bool = False, mesh=None,
+                 mesh_axis: str = "data"):
         """check_well_formed subgroup-checks every setup point before use
         (reference: trusted_setup.go:45-87 — opt-in here because the
         embedded mainnet setup ships pre-validated and the check re-runs
-        on every construction otherwise)."""
+        on every construction otherwise).
+
+        mesh: optional jax.sharding.Mesh — the TPU-native analog of the
+        reference's numGoRoutines knob (reference: prove.go:9-13 threads
+        parallelism through every prover entry point).  When set, the
+        batched public ops (`blob_to_kzg_commitment_batch`,
+        `verify_blob_kzg_proof_batch`) run data-parallel over the mesh via
+        shard_map (parallel/sharded.py patterns): the blob axis is sharded,
+        per-blob kernels are device-local, and the RLC evaluation fold is
+        a lazy-carry psum.  Results are bit-identical to the single-device
+        path for any mesh shape.
+        """
         if setup is None:
             setup = load_trusted_setup_json(DEFAULT_SETUP_PATH)
         if check_well_formed:
@@ -102,6 +114,9 @@ class Context:
         self.gen_g2 = parsed.g2_monomial_ints[0]
         self.alpha_g2 = parsed.g2_monomial_ints[1]
         self.g2_points = parsed.g2_monomial_ints
+
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
 
         self._setup_digest = parsed.digest
         self._fk20 = None
@@ -216,11 +231,96 @@ class Context:
     def _commit(self, scalars_normal):
         """Batched commit against the Lagrange brp key ([B, 4096, 16] normal
         scalars -> normal-form affine arrays)."""
+        if self.mesh is not None:
+            return self._commit_mesh(scalars_normal)
         commit = self._jit("commit", self._commit_fn)
         if self._use_commit_table():
             tx, ty = self.commit_table
             return commit(tx, ty, scalars_normal)
         return commit(self.lagrange_brp, scalars_normal)
+
+    # ------------------------------------------------------------- mesh paths
+    def _mesh_pad(self, batch: int) -> int:
+        """Batch padded so the mesh axis divides it (and to the compile
+        buckets, so mesh and non-mesh paths share shape discipline)."""
+        D = self.mesh.devices.size
+        p = _pad_bucket(batch)
+        return p if p % D == 0 else -(-p // D) * D
+
+    def _commit_mesh_fn(self):
+        """Data-parallel batched commit over the Context mesh: blob axis
+        sharded, per-blob MSM device-local, zero communication (the
+        shard_map analog of reference prove.go:13 + P2, SURVEY §2.5)."""
+        from jax.sharding import PartitionSpec as P
+        mesh, ax = self.mesh, self.mesh_axis
+        curve, fp = self.curve, self.fp
+
+        def local(px, py, pinf, polys):
+            B = polys.shape[0]
+            bpts = tuple(jnp.broadcast_to(c[None], (B,) + c.shape)
+                         for c in (px, py, pinf))
+            res = msm_mod.msm_core(curve, bpts, polys, window=8,
+                                   vary_axes=(ax,))
+            gx, gy, ginf = curve.to_affine(res)
+            return fp.from_mont(gx), fp.from_mont(gy), ginf
+
+        return jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ax)),
+            out_specs=(P(ax), P(ax), P(ax)), check_vma=False))
+
+    def _commit_mesh(self, scalars_normal):
+        from .parallel.sharded import _pallas_ctx
+        B = scalars_normal.shape[0]
+        pad = self._mesh_pad(B)
+        if pad != B:
+            fill = jnp.zeros((pad - B,) + scalars_normal.shape[1:],
+                             dtype=scalars_normal.dtype)
+            scalars_normal = jnp.concatenate([scalars_normal, fill])
+        fn = self._jit("commit_mesh", self._commit_mesh_fn)
+        with _pallas_ctx(self.mesh):
+            gx, gy, ginf = fn(*self.lagrange_brp, scalars_normal)
+        return gx[:B], gy[:B], ginf[:B]
+
+    def _batch_verify_mesh_fn(self):
+        """_batch_verify_fn over the Context mesh: the per-blob barycentric
+        evals shard on the blob axis; the evaluation fold Σ rᵢ yᵢ is a
+        lazy-carry psum (bit-identical to the tree fold: both end
+        canonically reduced); the small fold MSMs and the affine tail run
+        replicated.  reference: verify.go:152-169 (BatchPar) — here the
+        parallel axis is the mesh, and results are mesh-invariant."""
+        from jax.sharding import PartitionSpec as P
+        from .parallel.sharded import lazy_carry_fr_sum
+        fr, curve = self.fr, self.curve
+        mesh, axn = self.mesh, self.mesh_axis
+        roots, roots_inv = self.roots_brp, self.roots_brp_inv
+        n_inv = self.domain.n_inv_mont
+
+        def local(polys_normal, chal_normal, rp_mont, px, py, pinf, scl,
+                  fe_mask):
+            poly = fr.to_mont(polys_normal)          # local blob shard
+            z = fr.to_mont(chal_normal)
+            y, _, _, _ = kzg_engine.eval_lagrange(roots, roots_inv, n_inv,
+                                                  poly, z)
+            fe = lazy_carry_fr_sum(fr, fr.mul(rp_mont, y), axn)
+            fe_neg = fr.from_mont(fr.neg(fe))
+            scl = jnp.where(fe_mask[..., None], fe_neg[None, None, :], scl)
+            res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
+                                      shared_points=False, window=4,
+                                      chunks=8)
+
+            def inst(i):
+                return tuple(c[i] for c in res)
+
+            lhs1 = curve.add(inst(0), inst(1))
+            lhs2 = curve.neg(inst(2))
+            return tuple(jnp.stack([a, b]) for a, b in zip(lhs1, lhs2))
+
+        sh = P(axn)
+        return jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(sh, sh, sh, P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()), check_vma=False))
 
     def _open_fn(self):
         fr, curve = self.fr, self.curve
@@ -337,15 +437,18 @@ class Context:
             # than window=8 at N <= a few hundred points, where the bucket
             # stream (not the adds) is the measured cost
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
-                                      shared_points=False, window=4)
+                                      shared_points=False, window=4,
+                                      chunks=8)
 
             def inst(i):
                 return tuple(c[i] for c in res)
 
             lhs1 = curve.add(inst(0), inst(1))
             lhs2 = curve.neg(inst(2))
-            both = tuple(jnp.stack([a, b]) for a, b in zip(lhs1, lhs2))
-            return self._affine_normal(both)
+            # Jacobian out: the 2-point affine normalization is a ~29 ms
+            # Fermat-inversion scan at 2 lanes (measured, tools/probe_verify);
+            # the host converts 2 points in ~0.1 ms (python modinv)
+            return tuple(jnp.stack([a, b]) for a, b in zip(lhs1, lhs2))
 
         return jax.jit(run)
 
@@ -382,7 +485,8 @@ class Context:
             py = jnp.stack([wy[:Q], wy[H:H + Q], wy[H:H + Q]])
             pinf = jnp.stack([winf[:Q], winf[H:H + Q], winf[H:H + Q]])
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
-                                      shared_points=False, window=4)
+                                      shared_points=False, window=4,
+                                      chunks=8)
 
             def inst(i):
                 return tuple(c[i] for c in res)
@@ -390,7 +494,7 @@ class Context:
             lhs1 = curve.add(inst(0), inst(1))
             lhs2 = curve.neg(inst(2))
             both = tuple(jnp.stack([a, b]) for a, b in zip(lhs1, lhs2))
-            return self._affine_normal(both) + (ok,)
+            return both + (ok,)                  # Jacobian out (see above)
 
         return jax.jit(run)
 
@@ -405,7 +509,8 @@ class Context:
 
         def run(px, py, pinf, scl, evals_normal, idx, rp_mont):
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
-                                      shared_points=False, window=4)
+                                      shared_points=False, window=4,
+                                      chunks=8)
 
             def inst(i):
                 return tuple(c[i] for c in res)
@@ -413,10 +518,10 @@ class Context:
             interp = mp.fold_interpolation_poly(fr.to_mont(evals_normal),
                                                 idx, rp_mont)
             ic = msm_mod.msm(curve, mp.g1_points, fr.from_mont(interp),
-                             window=4)
+                             window=4, chunks=4)
             rl = curve.add(curve.add(inst(1), curve.neg(ic)), inst(2))
-            both = tuple(jnp.stack([a, b]) for a, b in zip(inst(0), rl))
-            return self._affine_normal(both)
+            # Jacobian out (host converts 2 points; see _batch_verify_fn)
+            return tuple(jnp.stack([a, b]) for a, b in zip(inst(0), rl))
 
         return jax.jit(run)
 
@@ -437,7 +542,8 @@ class Context:
             py = jnp.stack([wy[:Q], wy[H:H + Q], wy[:Q]])
             pinf = jnp.stack([winf[:Q], winf[H:H + Q], winf[:Q]])
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
-                                      shared_points=False, window=4)
+                                      shared_points=False, window=4,
+                                      chunks=8)
 
             def inst(i):
                 return tuple(c[i] for c in res)
@@ -445,10 +551,10 @@ class Context:
             interp = mp.fold_interpolation_poly(fr.to_mont(evals_normal),
                                                 idx, rp_mont)
             ic = msm_mod.msm(curve, mp.g1_points, fr.from_mont(interp),
-                             window=4)
+                             window=4, chunks=4)
             rl = curve.add(curve.add(inst(1), curve.neg(ic)), inst(2))
             both = tuple(jnp.stack([a, b]) for a, b in zip(inst(0), rl))
-            return self._affine_normal(both) + (ok,)
+            return both + (ok,)                  # Jacobian out (see above)
 
         return jax.jit(run)
 
@@ -527,6 +633,21 @@ class Context:
         need >= 256 lanes (field.py:218), so 2H >= 256 on TPU."""
         from .ops.field import _pallas_enabled
         return 128 if _pallas_enabled() else 0
+
+    def _jac_to_golden(self, X, Y, Z, i=0):
+        """Montgomery Jacobian device arrays -> golden affine tuple (row i).
+        Host-side normalization: 2 python modinvs instead of a ~29 ms
+        Fermat-inversion scan at 2 lanes inside the graph."""
+        from .golden import field as gf
+        from .constants import P_MOD
+        x = self.fp.to_int(X[i])
+        y = self.fp.to_int(Y[i])
+        z = self.fp.to_int(Z[i])
+        if z == 0:
+            return None
+        zi = gf.fp_inv(z)
+        zi2 = zi * zi % P_MOD
+        return (x * zi2 % P_MOD, y * zi2 % P_MOD * zi % P_MOD)
 
     def _affine_to_golden(self, ax, ay, ainf, i=0):
         """Normal-form affine device arrays -> golden tuple (row i)."""
@@ -612,7 +733,15 @@ class Context:
             return
 
         polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
-        use_dev = batch > 1 and self._device_decode_enabled()
+        use_dev = (batch > 1 and self._device_decode_enabled()
+                   and self.mesh is None)
+        pad = (self._mesh_pad(batch) if self.mesh is not None
+               else _pad_bucket(batch))
+        polys_p = np.concatenate([polys] + [polys[:1]] * (pad - batch))
+        # start the ~17 MB poly upload NOW (async) so it overlaps the host
+        # hashing/decoding below — it is the largest host->device transfer
+        # on this path (~65 ms at the measured 256 MB/s link)
+        polys_d = jnp.asarray(polys_p)
         if not use_dev:
             comms = serialization.deserialize_g1_batch(commitments)
             quotients = serialization.deserialize_g1_batch(proofs)
@@ -620,13 +749,11 @@ class Context:
         z_ints = [self.fr.to_int(challenges[i], mont=False)
                   for i in range(batch)]
 
-        pad = _pad_bucket(batch)
-        polys_p = np.concatenate([polys] + [polys[:1]] * (pad - batch))
         chal_p = np.concatenate([challenges] + [challenges[:1]] * (pad - batch))
 
         if batch == 1:
             eval_ = self._jit("eval", self._eval_fn)
-            ys = np.asarray(eval_(jnp.asarray(polys_p), jnp.asarray(chal_p)))
+            ys = np.asarray(eval_(polys_d, jnp.asarray(chal_p)))
             y_int = self.fr.to_int(ys[0], mont=False)
             self._verify_opening(comms[0], z_ints[0], y_int, quotients[0])
             return
@@ -658,11 +785,11 @@ class Context:
             x_limbs, sign, infm = self._parse_wire_blocks(
                 comms_blk, proofs_blk, H)
             run = self._jit("batch_verify_fused", self._batch_verify_fused_fn)
-            out = run(jnp.asarray(polys_p), jnp.asarray(chal_p),
+            out = run(polys_d, jnp.asarray(chal_p),
                       jnp.asarray(rp_mont), jnp.asarray(x_limbs),
                       jnp.asarray(sign), jnp.asarray(infm),
                       jnp.asarray(scl), jnp.asarray(fe_mask))
-            ax, ay, ainf, okm = jax.device_get(out)
+            jx, jy, jz, okm = jax.device_get(out)
             real = np.zeros(2 * H, dtype=bool)
             real[:batch] = True
             real[H:H + batch] = True
@@ -677,14 +804,24 @@ class Context:
             qx, qy, qinf = serialization.g1_points_to_device_arrays(qpts)
             px, py = np.stack([cx, qx, qx]), np.stack([cy, qy, qy])
             pinf = np.stack([cinf, qinf, qinf])
-            run = self._jit("batch_verify", self._batch_verify_fn)
-            out = run(jnp.asarray(polys_p), jnp.asarray(chal_p),
-                      jnp.asarray(rp_mont), jnp.asarray(px),
-                      jnp.asarray(py), jnp.asarray(pinf),
-                      jnp.asarray(scl), jnp.asarray(fe_mask))
-            ax, ay, ainf = jax.device_get(out)
-        lhs1 = self._affine_to_golden(ax, ay, ainf, 0)
-        lhs2 = self._affine_to_golden(ax, ay, ainf, 1)
+            if self.mesh is not None:
+                import contextlib
+                from .parallel.sharded import _pallas_ctx
+                run = self._jit("batch_verify_mesh",
+                                self._batch_verify_mesh_fn)
+                cm = _pallas_ctx(self.mesh)
+            else:
+                import contextlib
+                run = self._jit("batch_verify", self._batch_verify_fn)
+                cm = contextlib.nullcontext()
+            with cm:
+                out = run(polys_d, jnp.asarray(chal_p),
+                          jnp.asarray(rp_mont), jnp.asarray(px),
+                          jnp.asarray(py), jnp.asarray(pinf),
+                          jnp.asarray(scl), jnp.asarray(fe_mask))
+            jx, jy, jz = jax.device_get(out)
+        lhs1 = self._jac_to_golden(jx, jy, jz, 0)
+        lhs2 = self._jac_to_golden(jx, jy, jz, 1)
         ok = self._pairing_check([
             (lhs1, self.gen_g2),
             (lhs2, self.alpha_g2),
@@ -882,7 +1019,7 @@ class Context:
                       jnp.asarray(infm), jnp.asarray(scl),
                       jnp.asarray(evals_p), jnp.asarray(idx_p),
                       jnp.asarray(rp_mont))
-            ax, ay, ainf, okm = jax.device_get(out)
+            jx, jy, jz, okm = jax.device_get(out)
             real = np.zeros(2 * H, dtype=bool)
             real[:batch] = True
             real[H:H + U] = True
@@ -902,9 +1039,9 @@ class Context:
                       jnp.asarray(pinf), jnp.asarray(scl),
                       jnp.asarray(evals_p), jnp.asarray(idx_p),
                       jnp.asarray(rp_mont))
-            ax, ay, ainf = jax.device_get(out)
-        folded_proofs = self._affine_to_golden(ax, ay, ainf, 0)
-        rl = self._affine_to_golden(ax, ay, ainf, 1)
+            jx, jy, jz = jax.device_get(out)
+        folded_proofs = self._jac_to_golden(jx, jy, jz, 0)
+        rl = self._jac_to_golden(jx, jy, jz, 1)
         s_pow_cs_g2 = self.g2_points[SCALARS_PER_CELL]
         ok = self._pairing_check([
             (folded_proofs, s_pow_cs_g2),

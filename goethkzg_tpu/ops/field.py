@@ -296,7 +296,14 @@ class FieldSpec:
         """a^exponent via fixed 4-bit windows: ~35% fewer muls than
         pow_const (wbits squarings + one table mul per window) and a 4x
         shorter scan (faster compiles for the long Fp exponents used by
-        sqrt/inversion on the wire-decode path)."""
+        sqrt/inversion on the wire-decode path).
+
+        On TPU the whole chain runs as ONE Pallas kernel launch
+        (ops/pallas_chain.py) — the per-mul launch + transpose overhead of
+        the scan formulation measured ~30x the mul compute itself."""
+        if _pallas_enabled():
+            from . import pallas_chain
+            return pallas_chain.pow_const(self, a, exponent, wbits)
         nbits = max(exponent.bit_length(), 1)
         nw = -(-nbits // wbits)
         digits = np.asarray(
@@ -322,7 +329,13 @@ class FieldSpec:
         return out
 
     def inv(self, a):
-        """Batched inversion via Fermat (fully parallel; 0 -> 0)."""
+        """Batched inversion via Fermat (fully parallel; 0 -> 0).
+
+        On TPU: one pallas_chain launch instead of a ~510-step scan of
+        per-mul kernel launches (the scan measured ~29 ms even at 2 lanes,
+        tools/probe_verify.py)."""
+        if _pallas_enabled():
+            return self.pow_const_windowed(a, self.modulus - 2)
         return self.pow_const(a, self.modulus - 2)
 
     def batch_inv(self, x, zero_to_zero: bool = True):

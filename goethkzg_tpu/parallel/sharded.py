@@ -391,6 +391,23 @@ def fused_sharded_step(mesh: Mesh, curve, points_affine, polys_normal,
                   scalars_normal, a_mont, b_mont)
 
 
+def lazy_carry_fr_sum(fr, prod_mont, axis_name: str):
+    """sum over BOTH the local element axis (-2) and the mesh axis of
+    Montgomery products, via widened limb columns + ONE psum + one local
+    carry resolution.  prod_mont: [..., N_local, 16].  Returns [..., 16]
+    Montgomery (replicated across the mesh axis).
+
+    Safe for < 2^16 total elements (columns stay < 2^32)."""
+    cols = jax.lax.psum(
+        jnp.sum(prod_mont.astype(jnp.uint32), axis=-2, dtype=jnp.uint32),
+        axis_name)
+    limbs, carry = fr._propagate_cols(cols)
+    # true sum = carry * 2^256 + limbs; reduce both terms mod r
+    carry_limbs = jnp.zeros_like(limbs).at[..., 0].set(carry)
+    return fr.add(fr.to_mont(fr.from_mont(limbs)),
+                  fr.mul(carry_limbs, fr.r2_limbs))
+
+
 def domain_sharded_inner_product(mesh: Mesh, a_mont, b_mont,
                                  axis_name: str = "data"):
     """sum_i a_i * b_i with the element axis sharded: local partial products,
