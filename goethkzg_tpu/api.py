@@ -117,6 +117,11 @@ class Context:
 
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # fixed-base table window width: 4 (8 digit rows, 0.4 GB table) or
+        # 8 (128 rows, 3.2 GB) — halves the mixed-add count per commit.
+        # Sweepable on-chip (tools/sweep.py); default set by measurement.
+        self._commit_wbits = int(os.environ.get("GOETHKZG_COMMIT_WBITS",
+                                                "4"))
 
         self._setup_digest = parsed.digest
         self._fk20 = None
@@ -192,8 +197,10 @@ class Context:
             import os
             from .ops import pallas_tablemsm as ptm
             from .trusted_setup import _CACHE_DIR
+            w = self._commit_wbits
             path = (os.path.join(
-                _CACHE_DIR, f"commit_table_w4_{self._setup_digest}_v1.npz")
+                _CACHE_DIR,
+                f"commit_table_w{w}_{self._setup_digest}_v1.npz")
                 if self._setup_digest else None)
             if path and os.path.exists(path):
                 with np.load(path) as z:
@@ -201,8 +208,9 @@ class Context:
                                           jnp.asarray(z["ty"]))
             else:
                 self._commit_table = ptm.build_table_device(
-                    self.curve, self.lagrange_brp, wbits=4, pair_order="wN")
-                if path:
+                    self.curve, self.lagrange_brp, wbits=w,
+                    windows_per_slice=1 if w >= 8 else 4, pair_order="wN")
+                if path and w <= 4:
                     tx, ty = (np.asarray(a) for a in self._commit_table)
                     tmp = path + ".tmp"
                     os.makedirs(_CACHE_DIR, exist_ok=True)
@@ -215,9 +223,11 @@ class Context:
     def _commit_fn(self):
         curve = self.curve
         if self._use_commit_table():
+            w = self._commit_wbits
+
             def commit_t(tx, ty, scalars_normal):
                 res = msm_mod.msm_fixed_base(curve, (tx, ty), scalars_normal,
-                                             wbits=4)
+                                             wbits=w)
                 return self._affine_normal(res)
             return jax.jit(commit_t)
 
@@ -335,7 +345,7 @@ class Context:
             q_normal = fr.from_mont(q)
             if use_table:
                 res = msm_mod.msm_fixed_base(curve, points, q_normal,
-                                             wbits=4)
+                                             wbits=self._commit_wbits)
             else:
                 res = msm_mod.msm_batched(curve, points, q_normal,
                                           shared_points=True)

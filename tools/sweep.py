@@ -133,6 +133,34 @@ def main():
         t = _time(lambda: chain_mxu(a, b))
         _emit(rows, "mxu_mont_mul_fp", t, 8 * LANES, "muls/s")
 
+    # ---- 2c. RNS Montgomery mul (MXU base extensions) -------------------
+    if "rns" in stages:
+        from goethkzg_tpu.ops.rns import fp_rns
+        from goethkzg_tpu.ops.rns_jax import RNSOps
+        rops = RNSOps(fp_rns())
+        rngr = np.random.default_rng(9)
+        LANES = 1 << 17
+        # canonical residues < modulus
+        xr = jnp.asarray(rngr.integers(0, 1 << 14, (LANES, rops.n_res),
+                                       dtype=np.uint32))
+        yr = jnp.asarray(rngr.integers(0, 1 << 14, (LANES, rops.n_res),
+                                       dtype=np.uint32))
+
+        @jax.jit
+        def chain_rns(a, b):
+            x = a
+            for _ in range(8):
+                x = rops.mul(x, b)
+            return x
+
+        # vary inputs per rep: identical-arg reps measured unreliably
+        def run_rns(i=[0]):
+            i[0] += 1
+            return chain_rns(jnp.asarray(xr + np.uint32(i[0] % 7)), yr)
+
+        t = _time(run_rns)
+        _emit(rows, "rns_mont_mul_fp", t, 8 * LANES, "muls/s")
+
     # ---- 3. round-1 fused bucket kernel --------------------------------
     if "bucket" in stages:
         import jax
