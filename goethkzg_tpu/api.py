@@ -317,7 +317,8 @@ class Context:
             scl = jnp.where(fe_mask[..., None], fe_neg[None, None, :], scl)
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
                                       shared_points=False, window=4,
-                                      chunks=8)
+                                      chunks=8 if scl.shape[1] % 8 == 0
+                                      else None)
 
             def inst(i):
                 return tuple(c[i] for c in res)
@@ -448,7 +449,8 @@ class Context:
             # stream (not the adds) is the measured cost
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
                                       shared_points=False, window=4,
-                                      chunks=8)
+                                      chunks=8 if scl.shape[1] % 8 == 0
+                                      else None)
 
             def inst(i):
                 return tuple(c[i] for c in res)
@@ -496,7 +498,8 @@ class Context:
             pinf = jnp.stack([winf[:Q], winf[H:H + Q], winf[H:H + Q]])
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
                                       shared_points=False, window=4,
-                                      chunks=8)
+                                      chunks=8 if scl.shape[1] % 8 == 0
+                                      else None)
 
             def inst(i):
                 return tuple(c[i] for c in res)
@@ -520,7 +523,8 @@ class Context:
         def run(px, py, pinf, scl, evals_normal, idx, rp_mont):
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
                                       shared_points=False, window=4,
-                                      chunks=8)
+                                      chunks=8 if scl.shape[1] % 8 == 0
+                                      else None)
 
             def inst(i):
                 return tuple(c[i] for c in res)
@@ -553,7 +557,8 @@ class Context:
             pinf = jnp.stack([winf[:Q], winf[H:H + Q], winf[:Q]])
             res = msm_mod.msm_batched(curve, (px, py, pinf), scl,
                                       shared_points=False, window=4,
-                                      chunks=8)
+                                      chunks=8 if scl.shape[1] % 8 == 0
+                                      else None)
 
             def inst(i):
                 return tuple(c[i] for c in res)
