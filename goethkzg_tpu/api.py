@@ -33,6 +33,14 @@ from .trusted_setup import (DEFAULT_SETUP_PATH, load_trusted_setup_json,
 from .utils import jaxcfg  # noqa: F401  (configures the compilation cache)
 
 
+def _blob_u8_to_limbs(blob_u8):
+    """[..., 131072] raw blob bytes -> [..., 4096, 16] u32 LE 16-bit limbs
+    (normal form).  BE 32-byte scalars: limb i = bytes (30-2i, 31-2i)."""
+    a = blob_u8.reshape(blob_u8.shape[:-1]
+                        + (SCALARS_PER_BLOB, 16, 2)).astype(jnp.uint32)
+    return ((a[..., 0] << 8) | a[..., 1])[..., ::-1]
+
+
 def _pad_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -44,12 +52,14 @@ def _pad_bucket(n: int) -> int:
     """Pad batch sizes to a small fixed set of shapes.
 
     Every distinct padded shape costs a full XLA compile of the batched
-    kernels; bucketing to {1, 8, 32, 128, pow2 beyond} keeps the compile
-    count (and the persistent-cache size) tiny; the 32 bucket caps the
-    padding overhead for mid-size verification batches at 4x (vs the 14x a
-    9-blob batch would pay padded straight to 128).
+    kernels; bucketing to {1, 8, 32, 64, 128, pow2 beyond} keeps the
+    compile count (and the persistent-cache size) tiny; the 32 bucket caps
+    the padding overhead for mid-size verification batches at 4x, and the
+    64 bucket matters because 64 is THE production batch shape (a 64-blob
+    batch padded to 128 doubles the eval work and the poly upload —
+    measured as the single largest verify-path regression in r4).
     """
-    for b in (1, 8, 32, 128):
+    for b in (1, 8, 32, 64, 128):
         if n <= b:
             return b
     return _pad_pow2(n)
@@ -225,7 +235,10 @@ class Context:
         if self._use_commit_table():
             w = self._commit_wbits
 
-            def commit_t(tx, ty, scalars_normal):
+            def commit_t(tx, ty, blob_u8):
+                # raw-byte input: the limb unpack runs on device (halves
+                # the dominant host->device transfer, see validate_blob_bytes)
+                scalars_normal = _blob_u8_to_limbs(blob_u8)
                 res = msm_mod.msm_fixed_base(curve, (tx, ty), scalars_normal,
                                              wbits=w)
                 return self._affine_normal(res)
@@ -240,14 +253,26 @@ class Context:
 
     def _commit(self, scalars_normal):
         """Batched commit against the Lagrange brp key ([B, 4096, 16] normal
-        scalars -> normal-form affine arrays)."""
+        scalars -> normal-form affine arrays).  (Non-table paths only —
+        the table path goes through _commit_blobs with raw bytes.)"""
         if self.mesh is not None:
             return self._commit_mesh(scalars_normal)
         commit = self._jit("commit", self._commit_fn)
         if self._use_commit_table():
-            tx, ty = self.commit_table
-            return commit(tx, ty, scalars_normal)
+            raise AssertionError("table path takes bytes; use _commit_blobs")
         return commit(self.lagrange_brp, scalars_normal)
+
+    def _commit_blobs(self, blobs):
+        """Commit a list of blob byte strings (validates canonicality on
+        host; uploads raw bytes on the table path)."""
+        if self.mesh is None and self._use_commit_table():
+            u8 = np.stack([serialization.validate_blob_bytes(b)
+                           for b in blobs])
+            commit = self._jit("commit", self._commit_fn)
+            tx, ty = self.commit_table
+            return commit(tx, ty, jnp.asarray(u8))
+        polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
+        return self._commit(jnp.asarray(polys))
 
     # ------------------------------------------------------------- mesh paths
     def _mesh_pad(self, batch: int) -> int:
@@ -480,13 +505,36 @@ class Context:
         roots, roots_inv = self.roots_brp, self.roots_brp_inv
         n_inv = self.domain.n_inv_mont
 
-        def run(polys_normal, chal_normal, rp_mont, x_limbs, sign, infm,
-                scl, fe_mask):
+        def run(blob_u8, aux):
+            # blob_u8 [P, 131072] raw bytes; aux = ONE packed u32 vector
+            # (chal, rp, scl, fe, x_limbs, sign, inf) — the tunnel charges
+            # ~30-50 ms latency PER transfer, so the eight uploads of the
+            # round-3 signature collapse into two
+            P = blob_u8.shape[0]
+            aux_len = aux.shape[0]
+            # M solves: 2*P*16 + 3*M*17 + 2H*26 = aux_len with H = max(M, 128)
+            M = next(m for m in (8, 32, 64, 128, 256, 512)
+                     if 2 * P * 16 + 3 * m * 17
+                     + 2 * max(m, 128) * 26 == aux_len)
+            H = max(M, 128)
+            o = [0]
+
+            def take(n, shape, dtype=None):
+                v = jax.lax.dynamic_slice_in_dim(aux, o[0], n).reshape(shape)
+                o[0] += n
+                return v
+
+            chal_normal = take(P * 16, (P, 16))
+            rp_mont = take(P * 16, (P, 16))
+            scl = take(3 * M * 16, (3, M, 16))
+            fe_mask = take(3 * M, (3, M)) != 0
+            x_limbs = take(2 * H * 24, (2 * H, 24))
+            sign = take(2 * H, (2 * H,)) != 0
+            infm = take(2 * H, (2 * H,)) != 0
             wx, wy, winf, ok = dec_mod.decode_g1_graph(
                 curve, x_limbs, sign, infm, True)
-            H = x_limbs.shape[0] // 2
-            Q = scl.shape[1]
-            poly = fr.to_mont(polys_normal)
+            Q = M
+            poly = fr.to_mont(_blob_u8_to_limbs(blob_u8))
             z = fr.to_mont(chal_normal)
             y, _, _, _ = kzg_engine.eval_lagrange(roots, roots_inv, n_inv,
                                                   poly, z)
@@ -547,11 +595,32 @@ class Context:
         fr, curve = self.fr, self.curve
         mp = self.mp_key
 
-        def run(x_limbs, sign, infm, scl, evals_normal, idx, rp_mont):
+        def run(aux):
+            # ONE packed u32 upload (tunnel latency ~30-50 ms/transfer):
+            # scl[3,P,16], evals[P,64,16], idx[P], rp[P,16], x_limbs[2H,24],
+            # sign[2H], inf[2H] with H = max(P, 128)
+            aux_len = aux.shape[0]
+            P = next(m for m in (1, 8, 32, 64, 128, 256, 512)
+                     if 3 * m * 16 + m * 64 * 16 + m + m * 16
+                     + 2 * max(m, 128) * 26 == aux_len)
+            H = max(P, 128)
+            o = [0]
+
+            def take(n, shape):
+                v = aux[o[0]:o[0] + n].reshape(shape)
+                o[0] += n
+                return v
+
+            scl = take(3 * P * 16, (3, P, 16))
+            evals_normal = take(P * 64 * 16, (P, 64, 16))
+            idx = take(P, (P,)).astype(jnp.int32)
+            rp_mont = take(P * 16, (P, 16))
+            x_limbs = take(2 * H * 24, (2 * H, 24))
+            sign = take(2 * H, (2 * H,)) != 0
+            infm = take(2 * H, (2 * H,)) != 0
             wx, wy, winf, ok = dec_mod.decode_g1_graph(
                 curve, x_limbs, sign, infm, True)
-            H = x_limbs.shape[0] // 2
-            Q = scl.shape[1]
+            Q = P
             px = jnp.stack([wx[:Q], wx[H:H + Q], wx[:Q]])
             py = jnp.stack([wy[:Q], wy[H:H + Q], wy[:Q]])
             pinf = jnp.stack([winf[:Q], winf[H:H + Q], winf[:Q]])
@@ -674,13 +743,11 @@ class Context:
     # ------------------------------------------------------- EIP-4844 provers
     def blob_to_kzg_commitment(self, blob: bytes) -> bytes:
         """reference: prove.go:13."""
-        poly = serialization.deserialize_blob(blob)
-        ax, ay, ainf = self._commit(jnp.asarray(poly[None]))
+        ax, ay, ainf = self._commit_blobs([blob])
         return serialization.serialize_g1(self._affine_to_golden(ax, ay, ainf))
 
     def blob_to_kzg_commitment_batch(self, blobs) -> list:
-        polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
-        ax, ay, ainf = self._commit(jnp.asarray(polys))
+        ax, ay, ainf = self._commit_blobs(list(blobs))
         return self._serialize_proofs(ax, ay, ainf)
 
     def compute_kzg_proof(self, blob: bytes, z_bytes: bytes):
@@ -747,17 +814,25 @@ class Context:
         if batch == 0:
             return
 
-        polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
         use_dev = (batch > 1 and self._device_decode_enabled()
                    and self.mesh is None)
         pad = (self._mesh_pad(batch) if self.mesh is not None
                else _pad_bucket(batch))
-        polys_p = np.concatenate([polys] + [polys[:1]] * (pad - batch))
-        # start the ~17 MB poly upload NOW (async) so it overlaps the host
+        # start the poly upload NOW (async) so it overlaps the host
         # hashing/decoding below — it is the largest host->device transfer
-        # on this path (~65 ms at the measured 256 MB/s link)
-        polys_d = jnp.asarray(polys_p)
-        if not use_dev:
+        # on this path, and the tunnel runs at ~40 MB/s (measured).  The
+        # fused device path uploads RAW BYTES (8.4 MB per 64 blobs, half
+        # the unpacked-limb size) and unpacks on device.
+        if use_dev:
+            u8 = np.stack([serialization.validate_blob_bytes(b)
+                           for b in blobs])
+            u8_p = np.concatenate([u8] + [u8[:1]] * (pad - batch))
+            polys_d = jnp.asarray(u8_p)
+        else:
+            polys = np.stack([serialization.deserialize_blob(b)
+                              for b in blobs])
+            polys_p = np.concatenate([polys] + [polys[:1]] * (pad - batch))
+            polys_d = jnp.asarray(polys_p)
             comms = serialization.deserialize_g1_batch(commitments)
             quotients = serialization.deserialize_g1_batch(proofs)
         challenges = fiatshamir.compute_challenges_batch(blobs, commitments)
@@ -790,20 +865,23 @@ class Context:
                            + [np.zeros(16, np.uint32)] * (pad - batch))
 
         if use_dev:
-            # ONE dispatch from wire bytes to the pairing inputs: the
-            # decode block holds H generator-padded comms rows (the
-            # generator sits at row `batch` — instance 0 is comms ∪ {G1})
-            # then H quotient rows; padding scalars are zero.
+            # TWO uploads total: the raw byte matrix + one packed aux
+            # vector; the decode block holds H generator-padded comms rows
+            # (generator at row `batch` — instance 0 is comms ∪ {G1}) then
+            # H quotient rows; padding scalars are zero.
             H = max(M, self._decode_block_rows())
             comms_blk = list(commitments) + [self._gen_g1_bytes] * (H - batch)
             proofs_blk = list(proofs)
             x_limbs, sign, infm = self._parse_wire_blocks(
                 comms_blk, proofs_blk, H)
+            aux = np.concatenate([
+                chal_p.ravel(), rp_mont.ravel().astype(np.uint32),
+                scl.ravel(), fe_mask.ravel().astype(np.uint32),
+                x_limbs.ravel().astype(np.uint32),
+                sign.ravel().astype(np.uint32),
+                infm.ravel().astype(np.uint32)]).astype(np.uint32)
             run = self._jit("batch_verify_fused", self._batch_verify_fused_fn)
-            out = run(polys_d, jnp.asarray(chal_p),
-                      jnp.asarray(rp_mont), jnp.asarray(x_limbs),
-                      jnp.asarray(sign), jnp.asarray(infm),
-                      jnp.asarray(scl), jnp.asarray(fe_mask))
+            out = run(polys_d, jnp.asarray(aux))
             jx, jy, jz, okm = jax.device_get(out)
             real = np.zeros(2 * H, dtype=bool)
             real[:batch] = True
@@ -1029,11 +1107,15 @@ class Context:
             # block: H generator-padded proof rows, H commitment rows)
             H = max(pad, self._decode_block_rows())
             x_limbs, sign, infm = self._parse_wire_blocks(proofs, unique, H)
+            aux = np.concatenate([
+                scl.ravel(), np.asarray(evals_p).ravel(),
+                np.asarray(idx_p).ravel().astype(np.uint32),
+                rp_mont.ravel().astype(np.uint32),
+                x_limbs.ravel().astype(np.uint32),
+                sign.ravel().astype(np.uint32),
+                infm.ravel().astype(np.uint32)]).astype(np.uint32)
             run = self._jit("cell_verify_fused", self._cell_verify_fused_fn)
-            out = run(jnp.asarray(x_limbs), jnp.asarray(sign),
-                      jnp.asarray(infm), jnp.asarray(scl),
-                      jnp.asarray(evals_p), jnp.asarray(idx_p),
-                      jnp.asarray(rp_mont))
+            out = run(jnp.asarray(aux))
             jx, jy, jz, okm = jax.device_get(out)
             real = np.zeros(2 * H, dtype=bool)
             real[:batch] = True

@@ -57,6 +57,31 @@ def _fr_limbs_to_bytes(limbs: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def validate_blob_bytes(blob: bytes) -> np.ndarray:
+    """Blob -> u8[131072] with the canonicality CHECK only — the limb
+    unpack happens ON DEVICE (api._blob_u8_to_limbs).  Uploading raw
+    bytes instead of unpacked u32 limbs HALVES the host->device transfer,
+    which at the tunnel's measured ~40 MB/s is the single largest term of
+    the batched verify/commit paths.  Error taxonomy identical to
+    deserialize_blob (reference: serialization.go:134)."""
+    if blob is None:
+        from .errors import ErrDeserializeNilInput
+        raise ErrDeserializeNilInput()
+    if len(blob) != BYTES_PER_BLOB:
+        raise ErrNonCanonicalScalar(f"blob must be {BYTES_PER_BLOB} bytes")
+    arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+    words_be = ((arr.reshape(SCALARS_PER_BLOB, 32)[:, 0::2].astype(np.uint32)
+                 << 8) | arr.reshape(SCALARS_PER_BLOB, 32)[:, 1::2])
+    lt = np.zeros(SCALARS_PER_BLOB, dtype=bool)
+    eq = np.ones(SCALARS_PER_BLOB, dtype=bool)
+    for k in range(16):
+        lt |= eq & (words_be[:, k] < _R_WORDS_BE[k])
+        eq &= words_be[:, k] == _R_WORDS_BE[k]
+    if not lt.all():
+        raise ErrNonCanonicalScalar()
+    return arr
+
+
 def deserialize_blob(blob: bytes) -> np.ndarray:
     """Blob -> [4096, 16] limb array (normal form). reference: serialization.go:134."""
     if blob is None:
