@@ -128,10 +128,13 @@ class Context:
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         # fixed-base table window width: 4 (8 digit rows, 0.4 GB table) or
-        # 8 (128 rows, 3.2 GB) — halves the mixed-add count per commit.
-        # Sweepable on-chip (tools/sweep.py); default set by measurement.
+        # 8 (128 rows, 3.2 GB) — w8 halves the mixed-add count per commit:
+        # measured 107 vs 57 blobs/s kernel-only (tools/sweep.py, r4).  The
+        # w8 table builds on device in ~2 min per process (not disk-cached:
+        # a 3.2 GB npz would upload slower through the 34 MB/s tunnel than
+        # the device build).
         self._commit_wbits = int(os.environ.get("GOETHKZG_COMMIT_WBITS",
-                                                "4"))
+                                                "8"))
 
         self._setup_digest = parsed.digest
         self._fk20 = None
@@ -981,6 +984,9 @@ class Context:
         # one transfer per array — per-element device indexing costs a
         # device slice + host round-trip each (seconds over a remote tunnel);
         # compression is one native batch call over packed limb bytes
+        # ONE batched device_get: three sequential np.asarray fetches pay
+        # the tunnel round-trip each (~75 ms total measured; batched ~35)
+        ax, ay, ainf = jax.device_get((ax, ay, ainf))
         ax, ay, ainf = np.asarray(ax), np.asarray(ay), np.asarray(ainf)
         n = ax.shape[0]
         interleaved = np.empty((2 * n, ax.shape[1]), dtype=np.uint32)

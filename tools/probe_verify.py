@@ -167,12 +167,19 @@ def main():
             t = measure(lambda: f2(res))
             rec("jac->affine(2 pts)", t, "Fermat inv at 2 lanes")
 
-    # ---- the production fused graph ---------------------------------------
+    # ---- the production fused graph (raw-u8 + packed aux signature) --------
     if "fused" in stages:
+        u8 = np.stack([serialization.validate_blob_bytes(b) for b in blobs])
+        u8_d = jnp.asarray(u8)
+        aux = np.concatenate([
+            np.asarray(chal_p).ravel(), np.asarray(rp_mont).ravel(),
+            np.asarray(scl).ravel(), np.asarray(fe_mask).astype(np.uint32).ravel(),
+            np.asarray(x_limbs).ravel(),
+            np.asarray(sign_d).astype(np.uint32).ravel(),
+            np.asarray(infm_d).astype(np.uint32).ravel()]).astype(np.uint32)
         run = ctx._jit("batch_verify_fused", ctx._batch_verify_fused_fn)
-        t = measure(lambda: run(
-            polys_p, chal_p, rp_mont, x_limbs, sign_d, infm_d, scl,
-            fe_mask))
+        aux_d = jnp.asarray(aux)
+        t = measure(lambda: run(u8_d, aux_d))
         rec("FUSED batch_verify", t, "one dispatch, device only")
         t = measure_host(lambda: ctx.verify_blob_kzg_proof_batch(
             blobs, commitments, proofs))

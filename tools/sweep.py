@@ -95,13 +95,14 @@ def main():
             windows_per_slice=1 if wbits >= 8 else 4)
 
         @jax.jit
-        def commit(sc):
+        def commit(tx, ty, sc):
             packed = ptm.pack_digits_lanes(sc, wbits=wbits)
-            res = ptm.table_msm(ctx.curve.F, table, packed, TB=TB)
+            res = ptm.table_msm(ctx.curve.F, (tx, ty), packed, TB=TB)
             return proj.tree_add(ctx.curve.F, res, axis_from_end=0)
 
         sc = jnp.asarray(scal)
-        t = _time(lambda: commit(sc))
+        tx, ty = table
+        t = _time(lambda: commit(tx, ty, sc))
         _emit(rows, f"table_msm_w{wbits}_TB{TB}", t, BATCH, "blobs/s")
         del table
 
