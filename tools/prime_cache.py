@@ -63,7 +63,7 @@ def main():
 
     ctx.verify_blob_kzg_proof(blobs[0], commits[0], proofs[0])
     log("verify_blob (single)")
-    for B in (2, 8, 64):
+    for B in (2, 8, 16, 64):
         ctx.verify_blob_kzg_proof_batch(blobs[:B], commits[:B], proofs[:B])
         log(f"verify_blob_batch batch={B}")
 
