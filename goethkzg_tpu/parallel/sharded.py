@@ -239,7 +239,7 @@ def domain_sharded_fft(mesh: Mesh, x_mont, n1: int, n2: int,
 
 
 def cells_sharded_proofs(mesh: Mesh, fk, poly_coeff_mont,
-                         axis_name: str = "data"):
+                         axis_name: str = "data", to_affine: bool = True):
     """FK20 multi-open with the coset/frequency axis sharded over the mesh.
 
     The two MSM stages of engines/fk20.py shard cleanly (the reference runs
@@ -254,7 +254,11 @@ def cells_sharded_proofs(mesh: Mesh, fk, poly_coeff_mont,
       65-column composite map.
 
     poly_coeff_mont: [poly_size, 16] (replicated).  Returns affine
-    (x, y, inf) arrays [nc], proofs sharded on the mesh axis.
+    (x, y, inf) arrays [nc], proofs sharded on the mesh axis — or
+    Jacobian (X, Y, Z) with to_affine=False, which drops the final
+    Fermat-inversion scan from the compiled module (the driver dryrun
+    normalizes on the host; the inversion for the mid-pipeline h
+    all-gather is unavoidable, stage 2 consumes affine points).
     """
     fr, curve = fk.fr, fk.curve
     F = curve.F
@@ -282,7 +286,7 @@ def cells_sharded_proofs(mesh: Mesh, fk, poly_coeff_mont,
         pinf = jnp.take(ginf, k_idxl, axis=0)
         proofs = msm_mod.msm_core(curve, (px, py, pinf), s2l, window=4,
                                   vary_axes=(axis_name,))
-        return curve.to_affine(proofs)
+        return curve.to_affine(proofs) if to_affine else proofs
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
