@@ -135,6 +135,12 @@ class Context:
         # the device build).
         self._commit_wbits = int(os.environ.get("GOETHKZG_COMMIT_WBITS",
                                                 "8"))
+        # RNS commit kernel (ops/pallas_rns.py): residue arithmetic + MXU
+        # base extensions instead of the positional limb kernel — ~4x
+        # lower lane-op count per Montgomery mul.  Opt-in until measured
+        # on-chip (tools/sweep.py stage "rns").
+        self._rns_commit = os.environ.get("GOETHKZG_RNS_COMMIT", "0") == "1"
+        self._commit_table_rns = None
 
         self._setup_digest = parsed.digest
         self._fk20 = None
@@ -233,17 +239,36 @@ class Context:
                                else tmp, path)
         return self._commit_table
 
+    @property
+    def commit_table_rns(self):
+        """u16 RNS form of the commit table (pallas_rns kernel path):
+        positional digit multiples converted chunk-wise to canonical
+        RNS-Montgomery residues; same digest-keyed lifetime as
+        commit_table.  The positional table is dropped after conversion
+        (the RNS kernel replaces it on this path)."""
+        if self._commit_table_rns is None:
+            from .ops import pallas_rns
+            from .ops.rns import fp_rns
+            from .ops.rns_jax import RNSOps
+            tx, ty = self.commit_table
+            self._commit_table_rns = pallas_rns.build_rns_table(
+                RNSOps(fp_rns()), tx, ty)
+            self._commit_table = None      # free the positional copy
+        return self._commit_table_rns
+
     def _commit_fn(self):
         curve = self.curve
         if self._use_commit_table():
             w = self._commit_wbits
+            use_rns = self._rns_commit
 
             def commit_t(tx, ty, blob_u8):
                 # raw-byte input: the limb unpack runs on device (halves
                 # the dominant host->device transfer, see validate_blob_bytes)
                 scalars_normal = _blob_u8_to_limbs(blob_u8)
-                res = msm_mod.msm_fixed_base(curve, (tx, ty), scalars_normal,
-                                             wbits=w)
+                fixed = (msm_mod.msm_fixed_base_rns if use_rns
+                         else msm_mod.msm_fixed_base)
+                res = fixed(curve, (tx, ty), scalars_normal, wbits=w)
                 return self._affine_normal(res)
             return jax.jit(commit_t)
 
@@ -272,7 +297,8 @@ class Context:
             u8 = np.stack([serialization.validate_blob_bytes(b)
                            for b in blobs])
             commit = self._jit("commit", self._commit_fn)
-            tx, ty = self.commit_table
+            tx, ty = (self.commit_table_rns if self._rns_commit
+                      else self.commit_table)
             return commit(tx, ty, jnp.asarray(u8))
         polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
         return self._commit(jnp.asarray(polys))

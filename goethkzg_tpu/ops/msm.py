@@ -407,3 +407,52 @@ def msm_naive(curve, points_affine, scalars_normal):
     for i in range(1, px.shape[0]):
         acc = curve.add(acc, tuple(c[i] for c in prods))
     return acc
+
+
+def msm_fixed_base_rns(curve, table_u16, scalars_normal, wbits: int = 8,
+                       interpret: bool = False):
+    """Batched fixed-base MSM on the RNS Pallas kernel (round 5).
+
+    table_u16: (tx, ty) [PT, D, 2k, L] u16 from pallas_rns.build_rns_table;
+    scalars_normal: [B, N, 16].  Returns a positional-Montgomery Jacobian
+    tuple [B] — drop-in for msm_fixed_base.
+
+    Tail: lane tree-add in XLA RNS (8k point-adds, ms), exact CRT limbs,
+    then one positional Montgomery mul by R16^2 * M_A^{-1} mod p converts
+    each coordinate from the RNS Montgomery domain (value * M_A) to the
+    positional one (value * R16).
+    """
+    from . import pallas_rns, pallas_tablemsm
+    from .rns import fp_rns
+    from .rns_jax import RNSOps
+    from .rns_msm import RNSCurve
+
+    F = curve.F
+    spec = fp_rns()
+    ops = RNSOps(spec)
+    packed = pallas_tablemsm.pack_digits_lanes(scalars_normal, wbits=wbits)
+    acc = pallas_rns.rns_table_msm(spec, table_u16, packed,
+                                   interpret=interpret)   # [B, L, 2k]
+    return rns_acc_to_jacobian(F, ops, acc)
+
+
+def rns_acc_to_jacobian(F, ops, acc):
+    """RNS projective per-lane partials [B, L, 2k] -> positional-Montgomery
+    Jacobian tuple [B]: lane tree-add (RNS), exact CRT limbs, then one
+    positional Montgomery mul converts domains.
+
+    Domain algebra: the CRT limbs hold v = coord * M_A mod p (+ <=2p
+    slack); F.mul multiplies by R16^{-1} and F.from_int(c) encodes
+    c * R16, so conv = from_int(R16 * M_A^{-1}) gives
+    F.mul(v, conv) = v * M_A^{-1} * R16 = coord * R16."""
+    from .rns_msm import RNSCurve
+
+    spec = ops.spec
+    rcurve = RNSCurve(ops)
+    X, Y, Z = rcurve.tree_add(acc, axis_from_end=0)       # [B, 2k]
+    vx, vy, vz = (ops.to_value_limbs(c) for c in (X, Y, Z))  # [B, n] < 3p
+    conv = np.array(F.from_int(
+        pow(2, 16 * F.n, F.modulus) * pow(int(spec.A.M), -1, F.modulus)
+        % F.modulus), dtype=np.uint32)
+    x, y, z = (F.mul(v, conv) for v in (vx, vy, vz))
+    return proj.to_jacobian(F, (x, y, z))

@@ -162,6 +162,63 @@ def main():
         t = _time(run_rns)
         _emit(rows, "rns_mont_mul_fp", t, 8 * LANES, "muls/s")
 
+    # ---- 2d. Pallas RNS mul kernel (VMEM-resident, round 5) -------------
+    if "prns" in stages:
+        from goethkzg_tpu.ops.pallas_rns import mont_mul_rns
+        from goethkzg_tpu.ops.rns import fp_rns
+        spec = fp_rns()
+        rngp = np.random.default_rng(13)
+        LANES = 1 << 17
+        DEPTH = 16
+        m_all = np.array(spec.A.m + spec.B.m, dtype=np.uint32)
+        xr = (rngp.integers(0, 1 << 30, (LANES, 2 * spec.k))
+              % m_all).astype(np.uint32)
+        yr = (rngp.integers(0, 1 << 30, (LANES, 2 * spec.k))
+              % m_all).astype(np.uint32)
+        xj, yj = jnp.asarray(xr), jnp.asarray(yr)
+        fn = jax.jit(lambda a, b: mont_mul_rns(spec, a, b, depth=DEPTH))
+
+        def run_prns(i=[0]):
+            i[0] += 1
+            return fn(jnp.asarray((xr + np.uint32(i[0] % 5)) % m_all), yj)
+
+        t = _time(run_prns)
+        _emit(rows, f"pallas_rns_mul_fp_d{DEPTH}", t, DEPTH * LANES,
+              "muls/s")
+
+    # ---- 2e. Pallas RNS fixed-base table MSM (round 5) ------------------
+    if "ptable" in stages:
+        from goethkzg_tpu.ops import msm as msm_mod2
+        from goethkzg_tpu.ops import pallas_rns, pallas_tablemsm as ptm
+        from goethkzg_tpu.ops.rns import fp_rns
+        from goethkzg_tpu.ops.rns_jax import RNSOps
+        rops2 = RNSOps(fp_rns())
+        for wbits in (8,):
+            table = ptm.build_table_device(
+                ctx.curve, ctx.lagrange_brp, wbits=wbits,
+                windows_per_slice=1 if wbits >= 8 else 4)
+            trns = pallas_rns.build_rns_table(rops2, table[0], table[1])
+            del table
+            sc = jnp.asarray(scal)
+
+            @jax.jit
+            def commit_rns(tx, ty, s):
+                return msm_mod2.msm_fixed_base_rns(
+                    ctx.curve, (tx, ty), s, wbits=wbits)
+
+            tx, ty = trns
+            t = _time(lambda: commit_rns(tx, ty, sc))
+            _emit(rows, f"rns_table_msm_w{wbits}", t, BATCH, "blobs/s")
+            # kernel-only split (no lane tree-add / CRT tail)
+            @jax.jit
+            def kernel_only(tx, ty, s):
+                packed = ptm.pack_digits_lanes(s, wbits=wbits)
+                return pallas_rns.rns_table_msm(fp_rns(), (tx, ty), packed)
+
+            t = _time(lambda: kernel_only(tx, ty, sc))
+            _emit(rows, f"rns_table_kernel_w{wbits}", t, BATCH, "blobs/s")
+            del trns
+
     # ---- 3. round-1 fused bucket kernel --------------------------------
     if "bucket" in stages:
         import jax
