@@ -50,6 +50,7 @@ BASE = {
     "verify_blob_kzg_proof_batch": 650.0,       # blobs/s
     "verify_cell_kzg_proof_batch": 5000.0,      # cells/s
     "compute_cells_and_kzg_proofs": 5.0,        # blobs/s
+    "compute_cells_and_kzg_proofs_batch": 5.0,  # blobs/s (same 1-core base)
 }
 
 
@@ -108,6 +109,11 @@ def _child(results_path: str):
     # ---- compute_cells_and_kzg_proofs --------------------------------------
     t = _time(lambda: ctx.compute_cells_and_kzg_proofs(blobs[0]))
     record("compute_cells_and_kzg_proofs", 1.0 / t, "blobs/s (batch=1)")
+
+    # TPU-first batched cells (no reference analog; same graph, batch=8)
+    t = _time(lambda: ctx.compute_cells_and_kzg_proofs_batch(blobs[:8]))
+    record("compute_cells_and_kzg_proofs_batch", 8.0 / t,
+           "blobs/s (batch=8)")
 
     # ---- verify_cell_kzg_proof_batch (north star #2) -----------------------
     cells, cell_proofs = ctx.compute_cells_and_kzg_proofs(blobs[0])

@@ -1035,6 +1035,30 @@ class Context:
         return (self._serialize_cells(evals),
                 self._serialize_proofs(ax, ay, ainf))
 
+    def compute_cells_and_kzg_proofs_batch(self, blobs):
+        """Batched cells + proofs: ONE device dispatch for the whole blob
+        batch, returning [(cells, proofs), ...] per blob.
+
+        TPU-first extension with no reference analog (the reference API
+        is per-blob, api_eip7594.go:28, parallelized over goroutines) —
+        the FK20 graph is batch-shaped end to end, so a batch amortizes
+        the launch/transfer overhead that dominates the single-blob
+        latency.  Bit-identical per blob to compute_cells_and_kzg_proofs.
+        """
+        if not blobs:
+            return []
+        B = len(blobs)
+        pad = _pad_bucket(B)
+        polys = np.stack([serialization.deserialize_blob(b) for b in blobs]
+                         + [np.zeros((SCALARS_PER_BLOB, 16), np.uint32)]
+                         * (pad - B))
+        run = self._jit("cells_proofs", self._cells_proofs_fn)
+        evals, (ax, ay, ainf) = run(jnp.asarray(polys))
+        evals, ax, ay, ainf = jax.device_get((evals, ax, ay, ainf))
+        return [(self._serialize_cells(evals[i]),
+                 self._serialize_proofs(ax[i], ay[i], ainf[i]))
+                for i in range(B)]
+
     def _recover_poly_coeffs(self, cell_ids, cells):
         """Validation + erasure recovery -> monomial coeffs (device array).
 

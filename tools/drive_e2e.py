@@ -109,6 +109,20 @@ def main():
                     ["0x" + p.hex() for p in proofs]]
         check("cells_proofs", name, fnc, out, False)
 
+    # batched cells (TPU-first extension): must be bit-identical per blob
+    batch_vec = [(name, i, out)
+                 for name, i, out in load("compute_cells_and_kzg_proofs")
+                 if out is not None][:2]
+    if batch_vec:
+        def fnb():
+            outs = ctx.compute_cells_and_kzg_proofs_batch(
+                [hx(i["blob"]) for _, i, _ in batch_vec])
+            return [[["0x" + c.hex() for c in cells],
+                     ["0x" + p.hex() for p in proofs]]
+                    for cells, proofs in outs]
+        check("cells_proofs_batch", "batch2_vs_vectors", fnb,
+              [out for _, _, out in batch_vec], False)
+
     for name, i, out in load("recover_cells_and_kzg_proofs"):
         def fnr(i=i):
             cells, proofs = ctx.recover_cells_and_compute_kzg_proofs(

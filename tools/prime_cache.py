@@ -74,6 +74,8 @@ def main():
 
     cells, cell_proofs = ctx.compute_cells_and_kzg_proofs(blobs[0])
     log("compute_cells_and_kzg_proofs")
+    ctx.compute_cells_and_kzg_proofs_batch(blobs[:8])
+    log("compute_cells_and_kzg_proofs_batch batch=8")
     ctx.compute_cells(blobs[0])
     log("compute_cells")
 
