@@ -101,6 +101,8 @@ class FK20:
 
         self.table = self._build_srs_table(monomial_key, cache_path)
         self._s1_table = None        # lazy fixed-base digit table (TPU)
+        self._s1_table_rns = None    # u16 RNS form (pallas_rns kernel)
+        self._rns_s1 = os.environ.get("GOETHKZG_RNS_FK20", "0") == "1"
 
         # Toeplitz gather: reversed poly, stride-cs split -> rows [cs, cs];
         # circulant row c = col ++ [0, row[cs-1..1]]  (toeplitz.go:17-31).
@@ -195,6 +197,20 @@ class FK20:
                 self.curve, (fx, fy, finf), wbits=4, pair_order="vW")
         return self._s1_table
 
+    @property
+    def s1_table_rns(self):
+        """u16 RNS residues of the stage-1 digit table (pallas_rns path);
+        the positional copy is dropped after conversion."""
+        if self._s1_table_rns is None:
+            from ..ops import pallas_rns
+            from ..ops.rns import fp_rns
+            from ..ops.rns_jax import RNSOps
+            tx, ty = self.s1_table
+            self._s1_table_rns = pallas_rns.build_rns_table(
+                RNSOps(fp_rns()), tx, ty)
+            self._s1_table = None
+        return self._s1_table_rns
+
     # ------------------------------------------------------------------ device
     def extended_evaluations(self, poly_coeff_mont):
         """Evaluate on all cosets: [..., N, 16] -> [..., nc, cs, 16].
@@ -237,7 +253,17 @@ class FK20:
         if self._production_kernel_path():
             from ..ops import pallas_tablemsm as ptm
             packed = ptm.pack_digits_outputs(scalars, wbits=4)
-            hx, hy, hz = ptm.table_msm(F, self.s1_table, packed)
+            if self._rns_s1:
+                from ..ops import pallas_rns
+                from ..ops.msm import rns_acc_to_proj
+                from ..ops.rns import fp_rns
+                from ..ops.rns_jax import RNSOps
+                spec = fp_rns()
+                acc = pallas_rns.rns_table_msm(spec, self.s1_table_rns,
+                                               packed)   # [B, nc, 2k]
+                hx, hy, hz = rns_acc_to_proj(F, RNSOps(spec), acc)
+            else:
+                hx, hy, hz = ptm.table_msm(F, self.s1_table, packed)
             # [B, nc(lane=k), n] projective
         else:
             tx, ty, tinf = self.table

@@ -436,6 +436,17 @@ def msm_fixed_base_rns(curve, table_u16, scalars_normal, wbits: int = 8,
     return rns_acc_to_jacobian(F, ops, acc)
 
 
+def rns_acc_to_proj(F, ops, acc):
+    """RNS projective tuple (any batch shape, residue axis last) ->
+    positional-Montgomery projective (X, Y, Z) limb arrays (same domain
+    conversion as rns_acc_to_jacobian, no lane reduction)."""
+    spec = ops.spec
+    conv = np.array(F.from_int(
+        pow(2, 16 * F.n, F.modulus) * pow(int(spec.A.M), -1, F.modulus)
+        % F.modulus), dtype=np.uint32)
+    return tuple(F.mul(ops.to_value_limbs(c), conv) for c in acc)
+
+
 def rns_acc_to_jacobian(F, ops, acc):
     """RNS projective per-lane partials [B, L, 2k] -> positional-Montgomery
     Jacobian tuple [B]: lane tree-add (RNS), exact CRT limbs, then one
