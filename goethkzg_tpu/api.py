@@ -299,6 +299,18 @@ class Context:
             commit = self._jit("commit", self._commit_fn)
             tx, ty = (self.commit_table_rns if self._rns_commit
                       else self.commit_table)
+            B = u8.shape[0]
+            ch = int(os.environ.get("GOETHKZG_COMMIT_CHUNK", "16"))
+            if ch and B > ch and B % ch == 0:
+                # chunked dispatch: the (async) upload of chunk k+1 rides
+                # the tunnel while chunk k's kernel runs — the 8.4 MB/64
+                # blob raw-byte upload is the measured e2e floor (PERF.md
+                # r4); overlap hides it behind compute.  Bit-identical
+                # (blobs are independent).
+                parts = [commit(tx, ty, jnp.asarray(u8[s:s + ch]))
+                         for s in range(0, B, ch)]
+                return tuple(jnp.concatenate([p[i] for p in parts])
+                             for i in range(3))
             return commit(tx, ty, jnp.asarray(u8))
         polys = np.stack([serialization.deserialize_blob(b) for b in blobs])
         return self._commit(jnp.asarray(polys))
@@ -991,14 +1003,20 @@ class Context:
         return jax.jit(run)
 
     def _cells_proofs_fn(self):
-        to_coeffs = jax.jit(self._coeffs_fn())
-        from_coeffs = self._jit("cells_proofs_coeffs",
-                                self._cells_proofs_from_coeffs_fn)
+        """ONE jit from blob scalars to (evals, affine proofs): the
+        coeffs and proofs stages fuse into a single dispatch (two chained
+        jit calls cost an extra device round-trip each call; the recover
+        path keeps the standalone cells_proofs_coeffs graph)."""
+        fr, fk = self.fr, self.fk20
+        to_coeffs = self._coeffs_fn()
 
         def run(poly_normal):
-            return from_coeffs(to_coeffs(poly_normal))
+            coeffs = to_coeffs(poly_normal)
+            evals = fr.from_mont(fk.extended_evaluations(coeffs))
+            proofs = fk.multi_open_proofs(coeffs)
+            return evals, self._affine_normal(proofs)
 
-        return run
+        return jax.jit(run)
 
     def _serialize_cells(self, evals_normal):
         """[128, 64, 16] normal-form evals -> list of 128 cell byte strings."""
