@@ -81,13 +81,24 @@ class _Consts:
                              (mat >> 8).astype(np.float32)]).astype(
                 np.float32)
 
-        # direct orientation: out[j] = sum_i mat[j, i] * sig[i]
-        self.matAB = jnp.asarray(split(spec.ext_AB), dtype=jnp.bfloat16)
-        self.matBA = jnp.asarray(split(spec.ext_BA), dtype=jnp.bfloat16)
+        # direct orientation: out[j] = sum_i mat[j, i] * sig[i].
+        # Stored as NUMPY (f32 / u32): jnp conversion happens per
+        # operands() call — a cached jnp array built inside a jit trace
+        # is a leaked tracer for every later jit (UnexpectedTracerError).
+        self.matAB = split(spec.ext_AB)
+        self.matBA = split(spec.ext_BA)
+        self.matAB_u32 = self.matAB.astype(np.uint32)     # [2, k, k]
+        self.matBA_u32 = self.matBA.astype(np.uint32)
 
-    def operands(self):
+    def operands(self, mxu: bool = True):
+        if mxu:
+            mab = jnp.asarray(self.matAB, dtype=jnp.bfloat16)
+            mba = jnp.asarray(self.matBA, dtype=jnp.bfloat16)
+        else:
+            mab = jnp.asarray(self.matAB_u32)
+            mba = jnp.asarray(self.matBA_u32)
         return (jnp.asarray(self.m_eps), jnp.asarray(self.cA),
-                jnp.asarray(self.cB), self.matAB, self.matBA)
+                jnp.asarray(self.cB), mab, mba)
 
 
 @functools.cache
@@ -137,6 +148,26 @@ def _combine(parts, m, eps):
     return _fold((t << 8) + ll, m, eps)
 
 
+def _ext(mat2, sig, m, eps):
+    """Base extension digit sum: (sum_i mat[j,i] sig[i]) mod m_j.
+
+    mat2 [2, k_out, k_in]: bf16 byte planes -> four exact MXU matmuls;
+    u32 byte planes -> static VPU loop over k_in (acc_lo < k*2^23 < 2^28,
+    acc_hi < k*2^22 < 2^27, both exact in u32)."""
+    if mat2.dtype == jnp.bfloat16:
+        return _combine(_dots(mat2, sig), m, eps)
+    mlo, mhi = mat2[0], mat2[1]
+    B = sig.shape[1]
+    acc_lo = jnp.zeros((mlo.shape[0], B), jnp.uint32)
+    acc_hi = jnp.zeros((mlo.shape[0], B), jnp.uint32)
+    for i in range(sig.shape[0]):
+        s = sig[i][None, :]
+        acc_lo = acc_lo + mlo[:, i][:, None] * s
+        acc_hi = acc_hi + mhi[:, i][:, None] * s
+    t = _fold(acc_hi, m, eps)
+    return _fold((t << 8) + acc_lo, m, eps)
+
+
 def rns_mul(x, y, m_eps, cA, cB, matAB, matBA, *, k):
     """In-kernel RNS Montgomery product, [2k, B] x [2k, B] -> [2k, B].
 
@@ -148,18 +179,22 @@ def rns_mul(x, y, m_eps, cA, cB, matAB, matBA, *, k):
     w = _fold(x * y, m, eps)
     wA, wB = w[:k], w[k:]
     sig = _fold(wA * cA[:, 0:1], mA, epsA)
-    alpha = jnp.sum((sig * cA[:, 1:2]) >> 15, axis=0,
-                    dtype=jnp.uint32) >> 16                      # [B]
-    qB = _combine(_dots(matAB, sig), mB, epsB)
+    # cox sums ride i32 (Mosaic: no unsigned reductions); post-shift
+    # terms < 2^17 and k-term sums < 2^22, both exact in i32
+    alpha = (jnp.sum(((sig * cA[:, 1:2]) >> 15).astype(jnp.int32),
+                     axis=0, dtype=jnp.int32).astype(jnp.uint32)
+             >> 16)                                              # [B]
+    qB = _ext(matAB, sig, mB, epsB)
     qB = _fold(qB + cB[:, 5:6] - alpha[None, :] * cB[:, 3:4], mB, epsB)
     t = _fold(qB * cB[:, 1:2], mB, epsB)
     s = wB + t
     t = jnp.where(s >= mB, s - mB, s)
     rB = _fold(t * cB[:, 2:3], mB, epsB)
     sig2 = _fold(rB * cB[:, 4:5], mB, epsB)
-    alpha2 = (jnp.sum((sig2 * cB[:, 0:1]) >> 15, axis=0,
-                      dtype=jnp.uint32) + np.uint32(1 << 15)) >> 16
-    rA = _combine(_dots(matBA, sig2), mA, epsA)
+    alpha2 = (jnp.sum(((sig2 * cB[:, 0:1]) >> 15).astype(jnp.int32),
+                      axis=0, dtype=jnp.int32).astype(jnp.uint32)
+              + np.uint32(1 << 15)) >> 16
+    rA = _ext(matBA, sig2, mA, epsA)
     rA = _fold(rA + cA[:, 3:4] - alpha2[None, :] * cA[:, 2:3], mA, epsA)
     return jnp.concatenate([rA, rB], axis=0)
 
@@ -222,7 +257,7 @@ def _build_mul(p: int, k: int, depth: int, interpret: bool):
 
 
 def mont_mul_rns(spec: RNSSpec, x, y, depth: int = 1,
-                 interpret: bool = False):
+                 interpret: bool = False, mxu: bool = True):
     """RNS Montgomery product via the Pallas kernel.
 
     x, y: [..., 2k] canonical u32 residue arrays (RNSOps layout).
@@ -240,7 +275,7 @@ def mont_mul_rns(spec: RNSSpec, x, y, depth: int = 1,
         xf = jnp.concatenate([xf, pad])
         yf = jnp.concatenate([yf, pad])
     call = _build_mul(spec.p, k, depth, interpret)
-    out = call(xf.T, yf.T, *c.operands())
+    out = call(xf.T, yf.T, *c.operands(mxu))
     return out.T[:N].reshape(lead + (2 * k,))
 
 
@@ -336,12 +371,13 @@ def _rns_table_msm_kernel(txr, tyr, digr, me_ref, cA_ref, cB_ref, mAB_ref,
 
 @functools.cache
 def _msm_consts(p: int, k: int):
+    """NUMPY only (cached jnp arrays leak tracers across jits)."""
     c = consts_for(p, k)
     spec = c.spec
     one = np.array(spec.to_rns(spec.R % p), dtype=np.uint32)[:, None]
     shifts = np.stack([np.array(spec.to_rns(m * p), dtype=np.uint32)
                        for m in (3, 6, 72)], axis=1)            # [2k, 3]
-    return c, jnp.asarray(one), jnp.asarray(shifts)
+    return c, one, shifts
 
 
 @functools.cache
@@ -381,7 +417,8 @@ def _build_table_msm(p: int, k: int, PT: int, B: int, TB: int, D: int,
 
 
 def rns_table_msm(spec: RNSSpec, table_u16, packed_digits,
-                  TB: int | None = None, interpret: bool = False):
+                  TB: int | None = None, interpret: bool = False,
+                  mxu: bool = True):
     """Batched fixed-base MSM against a u16 RNS digit table.
 
     table_u16: (tx, ty) [PT, D, 2k, L] u16 canonical residues of the
@@ -400,10 +437,10 @@ def rns_table_msm(spec: RNSSpec, table_u16, packed_digits,
         while B % TB:
             TB -= 1
     c, onec, shifts = _msm_consts(spec.p, k)
-    me, cA, cB, mAB, mBA = c.operands()
+    me, cA, cB, mAB, mBA = c.operands(mxu)
     call = _build_table_msm(spec.p, k, PT, B, TB, D, L, interpret)
     ox, oy, oz = call(tx, ty, packed_digits[:, :, None, :], me, cA, cB,
-                      mAB, mBA, onec, shifts)
+                      mAB, mBA, jnp.asarray(onec), jnp.asarray(shifts))
     return (jnp.swapaxes(ox, 1, 2), jnp.swapaxes(oy, 1, 2),
             jnp.swapaxes(oz, 1, 2))
 

@@ -154,16 +154,19 @@ def main():
                 x = rops.mul(x, b)
             return x
 
-        # vary inputs per rep: identical-arg reps measured unreliably
+        # vary inputs per rep ON DEVICE (a host-side perturbation
+        # re-uploads 29 MB through the tunnel per rep and times the wire,
+        # not the kernel — the r5 sweep's first 3.4 Mmul/s reading)
         def run_rns(i=[0]):
             i[0] += 1
-            return chain_rns(jnp.asarray(xr + np.uint32(i[0] % 7)), yr)
+            return chain_rns(xr + np.uint32(i[0] % 7), yr)
 
         t = _time(run_rns)
         _emit(rows, "rns_mont_mul_fp", t, 8 * LANES, "muls/s")
 
     # ---- 2d. Pallas RNS mul kernel (VMEM-resident, round 5) -------------
     if "prns" in stages:
+      try:
         from goethkzg_tpu.ops.pallas_rns import mont_mul_rns
         from goethkzg_tpu.ops.rns import fp_rns
         spec = fp_rns()
@@ -176,18 +179,25 @@ def main():
         yr = (rngp.integers(0, 1 << 30, (LANES, 2 * spec.k))
               % m_all).astype(np.uint32)
         xj, yj = jnp.asarray(xr), jnp.asarray(yr)
-        fn = jax.jit(lambda a, b: mont_mul_rns(spec, a, b, depth=DEPTH))
+        for name, mxu in (("mxu", True), ("vpu", False)):
+            fn = jax.jit(lambda a, b, mxu=mxu: mont_mul_rns(
+                spec, a, b, depth=DEPTH, mxu=mxu))
 
-        def run_prns(i=[0]):
-            i[0] += 1
-            return fn(jnp.asarray((xr + np.uint32(i[0] % 5)) % m_all), yj)
+            # perturb ON DEVICE (host perturbation re-uploads 29 MB/rep)
+            def run_prns(i=[0]):
+                i[0] += 1
+                return fn(xj + np.uint32(i[0] % 5), yj)
 
-        t = _time(run_prns)
-        _emit(rows, f"pallas_rns_mul_fp_d{DEPTH}", t, DEPTH * LANES,
-              "muls/s")
+            t = _time(run_prns)
+            _emit(rows, f"pallas_rns_mul_{name}_d{DEPTH}", t,
+                  DEPTH * LANES, "muls/s")
+      except Exception as e:            # noqa: BLE001 — record, keep going
+        print(f"prns FAILED: {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:200]}", flush=True)
 
     # ---- 2e. Pallas RNS fixed-base table MSM (round 5) ------------------
     if "ptable" in stages:
+      try:
         from goethkzg_tpu.ops import msm as msm_mod2
         from goethkzg_tpu.ops import pallas_rns, pallas_tablemsm as ptm
         from goethkzg_tpu.ops.rns import fp_rns
@@ -209,15 +219,22 @@ def main():
             tx, ty = trns
             t = _time(lambda: commit_rns(tx, ty, sc))
             _emit(rows, f"rns_table_msm_w{wbits}", t, BATCH, "blobs/s")
-            # kernel-only split (no lane tree-add / CRT tail)
-            @jax.jit
-            def kernel_only(tx, ty, s):
-                packed = ptm.pack_digits_lanes(s, wbits=wbits)
-                return pallas_rns.rns_table_msm(fp_rns(), (tx, ty), packed)
+            # kernel-only split (no lane tree-add / CRT tail), both
+            # base-extension variants
+            for name, mxu in (("mxu", True), ("vpu", False)):
+                @jax.jit
+                def kernel_only(tx, ty, s, mxu=mxu):
+                    packed = ptm.pack_digits_lanes(s, wbits=wbits)
+                    return pallas_rns.rns_table_msm(fp_rns(), (tx, ty),
+                                                    packed, mxu=mxu)
 
-            t = _time(lambda: kernel_only(tx, ty, sc))
-            _emit(rows, f"rns_table_kernel_w{wbits}", t, BATCH, "blobs/s")
+                t = _time(lambda: kernel_only(tx, ty, sc))
+                _emit(rows, f"rns_table_kernel_w{wbits}_{name}", t, BATCH,
+                      "blobs/s")
             del trns
+      except Exception as e:            # noqa: BLE001 — record, keep going
+        print(f"ptable FAILED: {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:200]}", flush=True)
 
     # ---- 3. round-1 fused bucket kernel --------------------------------
     if "bucket" in stages:
