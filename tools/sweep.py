@@ -219,18 +219,15 @@ def main():
             tx, ty = trns
             t = _time(lambda: commit_rns(tx, ty, sc))
             _emit(rows, f"rns_table_msm_w{wbits}", t, BATCH, "blobs/s")
-            # kernel-only split (no lane tree-add / CRT tail), both
-            # base-extension variants
-            for name, mxu in (("mxu", True), ("vpu", False)):
-                @jax.jit
-                def kernel_only(tx, ty, s, mxu=mxu):
-                    packed = ptm.pack_digits_lanes(s, wbits=wbits)
-                    return pallas_rns.rns_table_msm(fp_rns(), (tx, ty),
-                                                    packed, mxu=mxu)
+            # kernel-only split (no lane tree-add / CRT tail); the 3-D
+            # row-vectorized kernel is VPU-extension only
+            @jax.jit
+            def kernel_only(tx, ty, s):
+                packed = ptm.pack_digits_lanes(s, wbits=wbits)
+                return pallas_rns.rns_table_msm(fp_rns(), (tx, ty), packed)
 
-                t = _time(lambda: kernel_only(tx, ty, sc))
-                _emit(rows, f"rns_table_kernel_w{wbits}_{name}", t, BATCH,
-                      "blobs/s")
+            t = _time(lambda: kernel_only(tx, ty, sc))
+            _emit(rows, f"rns_table_kernel_w{wbits}", t, BATCH, "blobs/s")
             del trns
       except Exception as e:            # noqa: BLE001 — record, keep going
         print(f"ptable FAILED: {type(e).__name__}: "
