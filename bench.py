@@ -95,25 +95,18 @@ def _child(results_path: str):
     rng = np.random.default_rng(0)
     blobs = [_rand_blob(rng) for _ in range(BATCH)]
 
+    # Op order = value of the NEXT metric if the external budget kills the
+    # run: primary first, then the two EIP-7594 north stars (absent from
+    # every BENCH_r* artifact through r4), then verify_blob (recorded r4).
+
     # ---- commit throughput (PRIMARY — always first) ------------------------
     t = _time(lambda: ctx.blob_to_kzg_commitment_batch(blobs))
     record("commit", BATCH / t, f"blobs/s (batch={BATCH}, 1 chip)")
     commits = ctx.blob_to_kzg_commitment_batch(blobs)
 
-    # ---- verify_blob_kzg_proof_batch (north star #1) -----------------------
-    proofs = [ctx.compute_blob_kzg_proof(b, c) for b, c in zip(blobs, commits)]
-    t = _time(lambda: ctx.verify_blob_kzg_proof_batch(blobs, commits, proofs))
-    record("verify_blob_kzg_proof_batch", BATCH / t,
-           f"blobs/s (batch={BATCH})")
-
-    # ---- compute_cells_and_kzg_proofs --------------------------------------
+    # ---- compute_cells_and_kzg_proofs (north star #3) ----------------------
     t = _time(lambda: ctx.compute_cells_and_kzg_proofs(blobs[0]))
     record("compute_cells_and_kzg_proofs", 1.0 / t, "blobs/s (batch=1)")
-
-    # TPU-first batched cells (no reference analog; same graph, batch=8)
-    t = _time(lambda: ctx.compute_cells_and_kzg_proofs_batch(blobs[:8]))
-    record("compute_cells_and_kzg_proofs_batch", 8.0 / t,
-           "blobs/s (batch=8)")
 
     # ---- verify_cell_kzg_proof_batch (north star #2) -----------------------
     cells, cell_proofs = ctx.compute_cells_and_kzg_proofs(blobs[0])
@@ -123,6 +116,17 @@ def _child(results_path: str):
         comms, idxs, cells, cell_proofs))
     record("verify_cell_kzg_proof_batch", CELL_BATCH / t,
            f"cells/s (batch={CELL_BATCH})")
+
+    # TPU-first batched cells (no reference analog; same graph, batch=8)
+    t = _time(lambda: ctx.compute_cells_and_kzg_proofs_batch(blobs[:8]))
+    record("compute_cells_and_kzg_proofs_batch", 8.0 / t,
+           "blobs/s (batch=8)")
+
+    # ---- verify_blob_kzg_proof_batch (north star #1) -----------------------
+    proofs = [ctx.compute_blob_kzg_proof(b, c) for b, c in zip(blobs, commits)]
+    t = _time(lambda: ctx.verify_blob_kzg_proof_batch(blobs, commits, proofs))
+    record("verify_blob_kzg_proof_batch", BATCH / t,
+           f"blobs/s (batch={BATCH})")
 
 
 # --------------------------------------------------------------- parent side

@@ -137,9 +137,10 @@ class Context:
                                                 "8"))
         # RNS commit kernel (ops/pallas_rns.py): residue arithmetic + MXU
         # base extensions instead of the positional limb kernel — ~4x
-        # lower lane-op count per Montgomery mul.  Opt-in until measured
-        # on-chip (tools/sweep.py stage "rns").
-        self._rns_commit = os.environ.get("GOETHKZG_RNS_COMMIT", "0") == "1"
+        # lower lane-op count per Montgomery mul.  Default since round 5:
+        # measured 125 vs 107 blobs/s kernel-side (tools/sweep.py ptable)
+        # and bit-exact on-chip vs the vendored vectors.
+        self._rns_commit = os.environ.get("GOETHKZG_RNS_COMMIT", "1") == "1"
         self._commit_table_rns = None
 
         self._setup_digest = parsed.digest
@@ -405,14 +406,18 @@ class Context:
         n_inv = self.domain.n_inv_mont
         use_table = self._use_commit_table()
 
+        use_rns = self._rns_commit
+
         def open_(points, poly_normal, z_normal):
             poly = fr.to_mont(poly_normal)
             z = fr.to_mont(z_normal)
             y, q = kzg_engine.quotient_poly(roots, roots_inv, n_inv, poly, z)
             q_normal = fr.from_mont(q)
             if use_table:
-                res = msm_mod.msm_fixed_base(curve, points, q_normal,
-                                             wbits=self._commit_wbits)
+                fixed = (msm_mod.msm_fixed_base_rns if use_rns
+                         else msm_mod.msm_fixed_base)
+                res = fixed(curve, points, q_normal,
+                            wbits=self._commit_wbits)
             else:
                 res = msm_mod.msm_batched(curve, points, q_normal,
                                           shared_points=True)
@@ -421,10 +426,15 @@ class Context:
         return jax.jit(open_)
 
     def _open(self, poly_normal, z_normal):
-        """Evaluate + quotient-commit against the Lagrange brp key."""
+        """Evaluate + quotient-commit against the Lagrange brp key (the
+        same fixed-base table as the commit path — RNS form when the RNS
+        kernel is the default, so the positional table is never rebuilt
+        after its one-way conversion)."""
         open_ = self._jit("open", self._open_fn)
         if self._use_commit_table():
-            return open_(self.commit_table, poly_normal, z_normal)
+            table = (self.commit_table_rns if self._rns_commit
+                     else self.commit_table)
+            return open_(table, poly_normal, z_normal)
         return open_(self.lagrange_brp, poly_normal, z_normal)
 
     def _eval_fn(self):
@@ -994,13 +1004,18 @@ class Context:
 
     def _cells_proofs_from_coeffs_fn(self):
         fr, fk, curve = self.fr, self.fk20, self.curve
+        table = fk.production_table()   # eager; threaded as jit ARGUMENT
 
-        def run(coeffs_mont):
+        def run(coeffs_mont, *tbl):
             evals = fr.from_mont(fk.extended_evaluations(coeffs_mont))
-            proofs = fk.multi_open_proofs(coeffs_mont)
+            proofs = fk.multi_open_proofs(coeffs_mont,
+                                          s1_table=tbl or None)
             return evals, self._affine_normal(proofs)
 
-        return jax.jit(run)
+        jitted = jax.jit(run)
+        if table is None:
+            return jitted
+        return lambda coeffs: jitted(coeffs, *table)
 
     def _cells_proofs_fn(self):
         """ONE jit from blob scalars to (evals, affine proofs): the
@@ -1009,14 +1024,18 @@ class Context:
         path keeps the standalone cells_proofs_coeffs graph)."""
         fr, fk = self.fr, self.fk20
         to_coeffs = self._coeffs_fn()
+        table = fk.production_table()   # eager; threaded as jit ARGUMENT
 
-        def run(poly_normal):
+        def run(poly_normal, *tbl):
             coeffs = to_coeffs(poly_normal)
             evals = fr.from_mont(fk.extended_evaluations(coeffs))
-            proofs = fk.multi_open_proofs(coeffs)
+            proofs = fk.multi_open_proofs(coeffs, s1_table=tbl or None)
             return evals, self._affine_normal(proofs)
 
-        return jax.jit(run)
+        jitted = jax.jit(run)
+        if table is None:
+            return jitted
+        return lambda poly: jitted(poly, *table)
 
     def _serialize_cells(self, evals_normal):
         """[128, 64, 16] normal-form evals -> list of 128 cell byte strings."""

@@ -211,6 +211,21 @@ class FK20:
             self._s1_table = None
         return self._s1_table_rns
 
+    def production_table(self):
+        """The stage-1 digit table as eager device arrays, or None off the
+        production kernel path.
+
+        Graph builders MUST fetch this outside their jit and thread it
+        through as an ARGUMENT: a lazy build during tracing caches TRACERS
+        on this object (UnexpectedTracerError on the next shape), building
+        eagerly but closing over the arrays embeds ~0.4 GB of table as HLO
+        constants (the axon remote-compile service rejects the module with
+        HTTP 413), and the pre-round-5 inline build re-executed the whole
+        table construction on EVERY call."""
+        if not self._production_kernel_path():
+            return None
+        return self.s1_table_rns if self._rns_s1 else self.s1_table
+
     # ------------------------------------------------------------------ device
     def extended_evaluations(self, poly_coeff_mont):
         """Evaluate on all cosets: [..., N, 16] -> [..., nc, cs, 16].
@@ -235,8 +250,12 @@ class FK20:
         scalars = jnp.swapaxes(fft_rows, -3, -2)     # [..., 2cs, cs, 16]
         return fr.from_mont(scalars)
 
-    def multi_open_proofs(self, poly_coeff_mont):
+    def multi_open_proofs(self, poly_coeff_mont, s1_table=None):
         """All nc coset proofs (Jacobian tuple, lane axis nc).
+
+        s1_table: the production_table() arrays threaded through the
+        caller's jit boundary (see production_table for why); None falls
+        back to the lazy properties (eager callers only).
 
         reference: fk20.go:76-124, toeplitz.go:95-125 — rebuilt as the two
         MSM stages described in the module docstring.
@@ -259,11 +278,14 @@ class FK20:
                 from ..ops.rns import fp_rns
                 from ..ops.rns_jax import RNSOps
                 spec = fp_rns()
-                acc = pallas_rns.rns_table_msm(spec, self.s1_table_rns,
+                tbl = (s1_table if s1_table is not None
+                       else self.s1_table_rns)
+                acc = pallas_rns.rns_table_msm(spec, tbl,
                                                packed)   # [B, nc, 2k]
                 hx, hy, hz = rns_acc_to_proj(F, RNSOps(spec), acc)
             else:
-                hx, hy, hz = ptm.table_msm(F, self.s1_table, packed)
+                tbl = s1_table if s1_table is not None else self.s1_table
+                hx, hy, hz = ptm.table_msm(F, tbl, packed)
             # [B, nc(lane=k), n] projective
         else:
             tx, ty, tinf = self.table
